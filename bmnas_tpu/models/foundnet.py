@@ -1,0 +1,163 @@
+"""Compiled ("found") fusion network built from a discrete Genotype.
+
+Rebuild of ``models/search/darts/model.py`` (Found_FusionCell /
+Found_Random_FusionCell :16-160 — byte-identical twins in the reference;
+one class here — and Found_FusionNetwork :162-190) and ``node.py``
+(Found_NodeCell :8-76, Found_FusionNode :78-91).
+
+The genotype is a *static* Python value: the module graph is compiled
+per-genotype, so XLA sees a fixed DAG with no interpretation overhead —
+changing the genotype triggers a fresh jit specialization (SURVEY.md §7).
+"""
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from bmnas_tpu import genotype as G
+from bmnas_tpu.ops.fusion_ops import STEP_OPS, EdgeOp
+from bmnas_tpu.ops.layers import BatchNorm, LayerNorm2D
+
+
+def _freeze(genotype: G.Genotype) -> Tuple:
+    """Convert a genotype to nested tuples (hashable, safe as a module attr)."""
+    steps = tuple(
+        (tuple(map(tuple, s.inner_edges)), tuple(s.inner_steps), tuple(s.inner_concat))
+        for s in genotype.steps
+    )
+    return (tuple(map(tuple, genotype.edges)), steps, tuple(genotype.concat))
+
+
+class FoundNodeCell(nn.Module):
+    """Fixed inner DAG from a StepGenotype (node.py:8-76)."""
+    inner_edges: Tuple[Tuple[str, int], ...]
+    inner_steps: Tuple[str, ...]
+    node_steps: int
+    node_multiplier: int
+    C: int
+    L: int
+    drpt: float
+
+    @nn.compact
+    def __call__(self, x, y, train: bool):
+        states = [x, y]
+        for i in range(self.node_steps):
+            name_x, idx_x = self.inner_edges[2 * i]
+            name_y, idx_y = self.inner_edges[2 * i + 1]
+            input_x = EdgeOp(kind=name_x, C=self.C, drpt=self.drpt)(
+                states[idx_x], train
+            )
+            input_y = EdgeOp(kind=name_y, C=self.C, drpt=self.drpt)(
+                states[idx_y], train
+            )
+            s = STEP_OPS[self.inner_steps[i]](self.C, self.L, self.drpt)(
+                input_x, input_y, train
+            )
+            states.append(s)
+
+        out = jnp.concatenate(states[-self.node_multiplier :], axis=-1)
+        if self.node_multiplier != 1:
+            out = nn.Dense(self.C)(out)
+            out = BatchNorm()(out, train)
+            out = nn.relu(out)
+            out = nn.Dropout(self.drpt, deterministic=not train)(out)
+        # "skip v4" residual + LayerNorm (node.py:73-74).
+        out = out + x
+        out = LayerNorm2D()(out)
+        return out
+
+
+class FoundFusionCell(nn.Module):
+    """Fixed outer cell compiled from genotype.edges (model.py:16-89)."""
+    edges: Tuple[Tuple[str, int], ...]
+    steps_genes: Tuple
+    concat: Tuple[int, ...]
+    node_steps: int
+    node_multiplier: int
+    C: int
+    L: int
+    drpt: float
+
+    @nn.compact
+    def __call__(self, input_features: Sequence[jnp.ndarray], train: bool):
+        n_steps = len(self.edges) // 2
+        multiplier = len(self.concat)
+        states = list(input_features)
+        for i in range(n_steps):
+            name1, idx1 = self.edges[2 * i]
+            name2, idx2 = self.edges[2 * i + 1]
+            h1 = EdgeOp(kind=name1, C=self.C, drpt=self.drpt)(states[idx1], train)
+            h2 = EdgeOp(kind=name2, C=self.C, drpt=self.drpt)(states[idx2], train)
+            inner_edges, inner_steps, _inner_concat = self.steps_genes[i]
+            s = FoundNodeCell(
+                inner_edges=inner_edges,
+                inner_steps=inner_steps,
+                node_steps=self.node_steps,
+                node_multiplier=self.node_multiplier,
+                C=self.C,
+                L=self.L,
+                drpt=self.drpt,
+                name=f"step_node_{i}",
+            )(h1, h2, train)
+            states.append(s)
+
+        out = jnp.concatenate(states[-multiplier:], axis=-1)
+        out = LayerNorm2D()(out)
+        out = nn.relu(out)
+        return out.reshape(out.shape[0], -1)
+
+
+class FoundFusionNetwork(nn.Module):
+    """Found-net wrapper (model.py:162-190)."""
+    steps: int
+    multiplier: int
+    num_input_nodes: int
+    num_keep_edges: int
+    node_steps: int
+    node_multiplier: int
+    C: int
+    L: int
+    drpt: float
+    genotype: Tuple  # frozen via from_genotype()
+
+    @classmethod
+    def from_genotype(cls, genotype: G.Genotype, **kwargs) -> "FoundFusionNetwork":
+        return cls(genotype=_freeze(genotype), **kwargs)
+
+    @nn.compact
+    def __call__(self, input_features: Sequence[jnp.ndarray], train: bool):
+        assert self.num_input_nodes == len(input_features)
+        edges, steps_genes, concat = self.genotype
+        return FoundFusionCell(
+            edges=edges,
+            steps_genes=steps_genes,
+            concat=concat,
+            node_steps=self.node_steps,
+            node_multiplier=self.node_multiplier,
+            C=self.C,
+            L=self.L,
+            drpt=self.drpt,
+            name="cell",
+        )(input_features, train)
+
+    def get_genotype(self) -> G.Genotype:
+        edges, steps_genes, concat = self.genotype
+        steps = [
+            G.StepGenotype(
+                inner_edges=[tuple(e) for e in ie],
+                inner_steps=list(isteps),
+                inner_concat=list(ic),
+            )
+            for (ie, isteps, ic) in steps_genes
+        ]
+        return G.Genotype(edges=[tuple(e) for e in edges], steps=steps,
+                          concat=list(concat))
+
+    def referenced_input_nodes(self) -> Tuple[int, ...]:
+        """Input indices actually consumed by the genotype edges — used by the
+        found task nets to skip building unused reshape layers
+        (mmimdb_darts_searchable.py:164-180)."""
+        edges, _, _ = self.genotype
+        return tuple(sorted({idx for _, idx in edges if idx < self.num_input_nodes}))

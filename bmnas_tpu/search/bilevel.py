@@ -1,0 +1,213 @@
+"""Bilevel (weights / architecture) training steps, jitted.
+
+Rebuild of the reference training machinery:
+  * weight step: train-phase per-batch Adam update with per-batch cosine LR
+    (train_searchable/mmimdb.py:96-101, scheduler update :97-99);
+  * arch step: first-order DARTS — a full forward/backward on a dev batch,
+    Adam over arch params only, network-weight grads discarded
+    (darts/architect.py:21-29);
+  * the reference's exact BN-mode matrix: BN runs in TRAIN mode on both train
+    and dev batches during search (train_searchable/mmimdb.py:50-56), and the
+    dev metric forward happens *after* the arch update, updating BN stats a
+    second time.
+
+TPU-first notes: each step is a single jitted function with donated state;
+metrics are accumulated on device (utils.metrics) so an epoch incurs no
+per-batch host syncs; the scalar LR (host-computed, see search/scheduler.py)
+enters as a dynamic scalar argument so LR changes never retrigger
+compilation. Optimizers are optax chains matching torch.optim.Adam semantics
+(L2 weight decay added to the gradient before the moment updates).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+Batch = Dict[str, jnp.ndarray]
+
+
+class TrainState(flax.struct.PyTreeNode):
+    params: Any
+    batch_stats: Any
+    arch: Any                      # arch-param pytree (None for found nets)
+    opt_w: Any
+    opt_arch: Any
+    rng: jax.Array
+    step: jnp.ndarray              # int32 scalar
+
+
+def torch_adam(b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
+               weight_decay: float = 0.0) -> optax.GradientTransformation:
+    """Adam *direction* (unit LR) with torch-style L2-into-grad decay.
+
+    The caller applies ``params -= eta * direction`` so a host-computed
+    per-batch eta needs no optimizer-state surgery.
+    """
+    txs = []
+    if weight_decay:
+        txs.append(optax.add_decayed_weights(weight_decay))
+    txs.append(optax.scale_by_adam(b1=b1, b2=b2, eps=eps))
+    return optax.chain(*txs)
+
+
+def make_weight_optimizer(param_labels: Any, weight_decay: float
+                          ) -> optax.GradientTransformation:
+    """Adam over 'train'-labelled params; 'frozen' params get zero updates.
+
+    Mirrors the reference's search-phase optimizer covering only
+    ``central_params()`` — backbones excluded (mmimdb_darts_searchable.py:120-126).
+    """
+    return optax.multi_transform(
+        {"train": torch_adam(weight_decay=weight_decay),
+         "frozen": optax.set_to_zero()},
+        param_labels,
+    )
+
+
+def make_arch_optimizer(lr: float, weight_decay: float
+                        ) -> optax.GradientTransformation:
+    """Adam(lr, betas=(0.5, 0.999), wd) over arch params
+    (mmimdb_darts_searchable.py:32-33)."""
+    return optax.chain(
+        torch_adam(b1=0.5, b2=0.999, weight_decay=weight_decay),
+        optax.scale(-lr),
+    )
+
+
+# Criteria ------------------------------------------------------------------
+
+def bce_with_logits(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """torch BCEWithLogitsLoss (mean over all elements)."""
+    return optax.sigmoid_binary_cross_entropy(logits, labels).mean()
+
+
+def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """torch CrossEntropyLoss with integer labels (mean)."""
+    return optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
+
+
+@dataclasses.dataclass(frozen=True)
+class StepFunctions:
+    """Jitted step functions for one task model.
+
+    weight_step(state, batch, eta)      -> (state', loss, counts)
+    arch_step(state, batch)             -> (state', loss, counts)  [search dev]
+    eval_step(state, batch)             -> (loss, counts)          [model.eval()]
+    """
+    weight_step: Callable
+    arch_step: Callable
+    eval_step: Callable
+
+
+def build_step_functions(
+    apply_fn: Callable,
+    criterion: Callable,
+    counts_fn: Callable,
+    w_tx: optax.GradientTransformation,
+    arch_tx: Optional[optax.GradientTransformation],
+    donate: bool = True,
+) -> StepFunctions:
+    """Construct the three step functions.
+
+    ``apply_fn(variables, batch, arch, train, rngs, mutable)`` must return
+    ``logits`` (and the mutated variables dict when ``mutable`` is non-empty).
+    ``counts_fn(logits, labels)`` produces the on-device metric counts.
+    """
+
+    def _forward_train(params, batch_stats, arch, batch, rng):
+        variables = {"params": params, "batch_stats": batch_stats}
+        logits, mutated = apply_fn(
+            variables, batch, arch, True, {"dropout": rng}, ["batch_stats"]
+        )
+        return logits, mutated["batch_stats"]
+
+    def weight_step(state: TrainState, batch: Batch, eta: jnp.ndarray):
+        rng, step_rng = jax.random.split(state.rng)
+
+        def loss_fn(params):
+            logits, new_bs = _forward_train(
+                params, state.batch_stats, state.arch, batch, step_rng
+            )
+            return criterion(logits, batch["label"]), (logits, new_bs)
+
+        (loss, (logits, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, new_opt_w = w_tx.update(grads, state.opt_w, state.params)
+        new_params = jax.tree_util.tree_map(
+            lambda p, u: p - eta * u, state.params, updates
+        )
+        counts = counts_fn(logits, batch["label"])
+        new_state = state.replace(
+            params=new_params, batch_stats=new_bs, opt_w=new_opt_w,
+            rng=rng, step=state.step + 1,
+        )
+        return new_state, loss, counts
+
+    def arch_step(state: TrainState, batch: Batch):
+        """Search dev-phase batch: arch update then metric forward.
+
+        Both forwards run in train mode (BN stats update twice), matching
+        architect.step + the subsequent no-grad forward in the reference dev
+        loop (train_searchable/mmimdb.py:77-105).
+        """
+        rng, k1, k2 = jax.random.split(state.rng, 3)
+
+        def arch_loss(arch):
+            logits, new_bs = _forward_train(
+                state.params, state.batch_stats, arch, batch, k1
+            )
+            return criterion(logits, batch["label"]), new_bs
+
+        (_, bs_after_arch), arch_grads = jax.value_and_grad(
+            arch_loss, has_aux=True
+        )(state.arch)
+        arch_updates, new_opt_arch = arch_tx.update(
+            arch_grads, state.opt_arch, state.arch
+        )
+        new_arch = optax.apply_updates(state.arch, arch_updates)
+
+        # Metric forward with the UPDATED arch and BN stats (second BN update).
+        logits, new_bs = _forward_train(
+            state.params, bs_after_arch, new_arch, batch, k2
+        )
+        loss = criterion(logits, batch["label"])
+        counts = counts_fn(logits, batch["label"])
+        new_state = state.replace(
+            arch=new_arch, opt_arch=new_opt_arch, batch_stats=new_bs, rng=rng,
+        )
+        return new_state, loss, counts
+
+    def eval_step(state: TrainState, batch: Batch):
+        """model.eval(): running BN stats, no dropout, no updates."""
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        logits = apply_fn(variables, batch, state.arch, False, None, [])
+        loss = criterion(logits, batch["label"])
+        return loss, counts_fn(logits, batch["label"])
+
+    dn = (0,) if donate else ()
+    return StepFunctions(
+        weight_step=jax.jit(weight_step, donate_argnums=dn),
+        arch_step=jax.jit(arch_step, donate_argnums=dn) if arch_tx is not None else None,
+        eval_step=jax.jit(eval_step),
+    )
+
+
+def make_param_labels(params: Any, frozen_prefixes: Tuple[str, ...]) -> Any:
+    """Label each top-level params subtree 'frozen' or 'train'.
+
+    Backbone freezing contract: reference central_params() excludes backbone
+    modules from the weight optimizer (mmimdb_darts_searchable.py:120-126,
+    ntu_darts_searchable.py — same pattern).
+    """
+    return {
+        k: jax.tree_util.tree_map(lambda _: "frozen", v)
+        if k in frozen_prefixes
+        else jax.tree_util.tree_map(lambda _: "train", v)
+        for k, v in params.items()
+    }

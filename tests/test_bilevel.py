@@ -1,0 +1,169 @@
+"""End-to-end bilevel search on a tiny synthetic MM-IMDB-shaped task.
+
+Covers: supernet init, weight step (frozen backbones), arch step (only arch
+moves), genotype derivation, found-net compile + forward. This is the
+miniature of the reference's search->found round trip (SURVEY.md §7 step 5).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bmnas_tpu.models.mmimdb import (
+    MMIMDB_FROZEN_PREFIXES,
+    FoundImageTextNet,
+    SearchableImageTextNet,
+)
+from bmnas_tpu.models.supernet import init_arch_params, derive_genotype_from_arch
+from bmnas_tpu.search.bilevel import (
+    TrainState,
+    bce_with_logits,
+    build_step_functions,
+    make_arch_optimizer,
+    make_param_labels,
+    make_weight_optimizer,
+)
+from bmnas_tpu.utils.metrics import multilabel_counts
+
+CFG = dict(C=8, L=4, steps=2, multiplier=2, node_steps=1, node_multiplier=1,
+           num_input_nodes=6, num_keep_edges=2, num_outputs=5, drpt=0.1)
+
+
+def synthetic_batch(b=2, key=0):
+    rng = np.random.RandomState(key)
+    return {
+        "image": jnp.asarray(rng.randn(b, 32, 32, 3).astype(np.float32)),
+        "text": jnp.asarray(rng.randn(b, 300).astype(np.float32)),
+        "label": jnp.asarray((rng.rand(b, 5) < 0.3).astype(np.float32)),
+    }
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = SearchableImageTextNet(**CFG)
+    rng = jax.random.PRNGKey(0)
+    arch = init_arch_params(rng, CFG["steps"], CFG["num_input_nodes"],
+                            CFG["node_steps"])
+    batch = synthetic_batch()
+    variables = model.init(
+        {"params": rng, "dropout": jax.random.PRNGKey(1)}, batch, arch, True
+    )
+    return model, variables, arch, batch
+
+
+def make_apply(model):
+    def apply_fn(variables, batch, arch, train, rngs, mutable):
+        if mutable:
+            return model.apply(variables, batch, arch, train,
+                               rngs=rngs, mutable=mutable)
+        return model.apply(variables, batch, arch, train)
+    return apply_fn
+
+
+def counts_fn(logits, labels):
+    preds = (jax.nn.sigmoid(logits) > 0.3).astype(jnp.float32)
+    return multilabel_counts(preds, labels)
+
+
+def make_state(model, variables, arch):
+    labels = make_param_labels(variables["params"], MMIMDB_FROZEN_PREFIXES)
+    w_tx = make_weight_optimizer(labels, weight_decay=1e-4)
+    arch_tx = make_arch_optimizer(3e-4, 1e-3)
+    state = TrainState(
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        arch=arch,
+        opt_w=w_tx.init(variables["params"]),
+        opt_arch=arch_tx.init(arch),
+        rng=jax.random.PRNGKey(7),
+        step=jnp.asarray(0, jnp.int32),
+    )
+    fns = build_step_functions(make_apply(model), bce_with_logits, counts_fn,
+                               w_tx, arch_tx, donate=False)
+    return state, fns
+
+
+class TestBilevel:
+    def test_weight_step_updates_central_only(self, setup):
+        model, variables, arch, batch = setup
+        state, fns = make_state(model, variables, arch)
+        new_state, loss, counts = fns.weight_step(state, batch, jnp.asarray(1e-3))
+        assert np.isfinite(float(loss))
+        # frozen backbones unchanged
+        for prefix in MMIMDB_FROZEN_PREFIXES:
+            old = jax.tree_util.tree_leaves(state.params[prefix])
+            new = jax.tree_util.tree_leaves(new_state.params[prefix])
+            for o, n in zip(old, new):
+                np.testing.assert_array_equal(np.asarray(o), np.asarray(n))
+        # central moved
+        moved = any(
+            not np.allclose(np.asarray(o), np.asarray(n))
+            for o, n in zip(
+                jax.tree_util.tree_leaves(state.params["fusion_net"]),
+                jax.tree_util.tree_leaves(new_state.params["fusion_net"]),
+            )
+        )
+        assert moved
+        # arch untouched by the weight step
+        for o, n in zip(jax.tree_util.tree_leaves(state.arch),
+                        jax.tree_util.tree_leaves(new_state.arch)):
+            np.testing.assert_array_equal(np.asarray(o), np.asarray(n))
+        # backbone batch_stats DID update (BN train mode even though frozen)
+        bs_moved = any(
+            not np.allclose(np.asarray(o), np.asarray(n))
+            for o, n in zip(
+                jax.tree_util.tree_leaves(state.batch_stats["imagenet"]),
+                jax.tree_util.tree_leaves(new_state.batch_stats["imagenet"]),
+            )
+        )
+        assert bs_moved
+
+    def test_arch_step_moves_arch_not_params(self, setup):
+        model, variables, arch, batch = setup
+        state, fns = make_state(model, variables, arch)
+        new_state, loss, counts = fns.arch_step(state, batch)
+        assert np.isfinite(float(loss))
+        for o, n in zip(jax.tree_util.tree_leaves(state.params),
+                        jax.tree_util.tree_leaves(new_state.params)):
+            np.testing.assert_array_equal(np.asarray(o), np.asarray(n))
+        arch_moved = any(
+            not np.allclose(np.asarray(o), np.asarray(n))
+            for o, n in zip(jax.tree_util.tree_leaves(state.arch),
+                            jax.tree_util.tree_leaves(new_state.arch))
+        )
+        assert arch_moved
+
+    def test_eval_step_is_pure(self, setup):
+        model, variables, arch, batch = setup
+        state, fns = make_state(model, variables, arch)
+        loss1, c1 = fns.eval_step(state, batch)
+        loss2, c2 = fns.eval_step(state, batch)
+        assert float(loss1) == float(loss2)
+
+    def test_search_to_found_round_trip(self, setup, tmp_path):
+        model, variables, arch, batch = setup
+        state, fns = make_state(model, variables, arch)
+        for i in range(2):
+            state, _, _ = fns.weight_step(state, batch, jnp.asarray(1e-3))
+            state, _, _ = fns.arch_step(state, batch)
+        genotype = derive_genotype_from_arch(
+            state.arch, CFG["steps"], CFG["multiplier"], CFG["num_input_nodes"],
+            CFG["node_steps"], CFG["node_multiplier"])
+        # persist + reload (reference pickle contract)
+        from bmnas_tpu.genotype import save_genotype, load_genotype
+        p = str(tmp_path / "best_genotype.pkl")
+        save_genotype(genotype, p)
+        genotype = load_genotype(p)
+
+        found = FoundImageTextNet.from_genotype(genotype, **CFG)
+        fvars = found.init(
+            {"params": jax.random.PRNGKey(3), "dropout": jax.random.PRNGKey(4)},
+            batch, None, True)
+        logits = found.apply(fvars, batch, None, False)
+        assert logits.shape == (2, CFG["num_outputs"])
+        assert np.isfinite(np.asarray(logits)).all()
+        # unused inputs must have no reshape params
+        used = {idx for _, idx in genotype.edges}
+        for i in range(CFG["num_input_nodes"]):
+            has = f"reshape_{i}" in fvars["params"]
+            assert has == (i in used)

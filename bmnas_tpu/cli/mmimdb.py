@@ -1,0 +1,288 @@
+"""MM-IMDB entry points: bilevel search and found-net retraining/test.
+
+Rebuild of ``main_darts_searchable_mmimdb.py`` and
+``main_darts_found_mmimdb.py`` plus the trainer glue in
+``models/search/mmimdb_darts_searchable.py:19-55`` and
+``main_darts_found_mmimdb.py:96-153``. CLI flags, experiment-dir naming
+('search-EXP-<ts>' under final_exp/mmimdb; 'eval-...'/'test-...' nested in
+the search/eval dir), and the best/ + architectures/ layout match the
+reference.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bmnas_tpu.cli.common import add_common_flags, model_kwargs_from_args
+from bmnas_tpu.data.mmimdb import MMIMDBDataset
+from bmnas_tpu.data.prefetch import device_prefetch
+from bmnas_tpu.genotype import load_genotype
+from bmnas_tpu.models.mmimdb import (
+    MMIMDB_FROZEN_PREFIXES,
+    FoundImageTextNet,
+    SearchableImageTextNet,
+)
+from bmnas_tpu.models.supernet import derive_genotype_from_arch, init_arch_params
+from bmnas_tpu.parallel.mesh import make_parallel_context, pad_batch_to_multiple
+from bmnas_tpu.search import loop as train_loop
+from bmnas_tpu.search.bilevel import (
+    TrainState,
+    bce_with_logits,
+    build_step_functions,
+    make_arch_optimizer,
+    make_param_labels,
+    make_weight_optimizer,
+)
+from bmnas_tpu.search.scheduler import LRCosineAnnealingScheduler
+from bmnas_tpu.utils import checkpoint as ckpt
+from bmnas_tpu.utils.experiment import create_exp_dir, setup_logger
+from bmnas_tpu.utils.metrics import f1_from_counts, multilabel_counts
+from bmnas_tpu.visualize import Plotter
+
+TH_FSCORE = 0.3  # sigmoid threshold (mmimdb_darts_searchable.py:53)
+
+
+def parse_search_args(argv=None):
+    parser = argparse.ArgumentParser(description='BM-NAS Configuration')
+    add_common_flags(parser, datadir_default='BM-NAS_dataset/mmimdb/dataset/',
+                     batchsize=8, C=192, L=16, num_input_nodes=6,
+                     num_outputs=23)
+    parser.add_argument('--f1_type', type=str, default='weighted',
+                        help="use 'weighted' or 'macro' F1 Score")
+    return parser.parse_args(argv)
+
+
+def parse_found_args(argv=None):
+    parser = argparse.ArgumentParser(description='BM-NAS Configuration')
+    add_common_flags(parser, datadir_default='BM-NAS_dataset/mmimdb/dataset/',
+                     batchsize=8, C=192, L=16, num_input_nodes=6,
+                     num_outputs=23)
+    parser.add_argument('--f1_type', type=str, default='weighted')
+    parser.add_argument('--search_exp_dir', type=str, default=None,
+                        help='evaluate which search exp')
+    parser.add_argument('--eval_exp_dir', type=str, default=None,
+                        help='test which eval exp')
+    return parser.parse_args(argv)
+
+
+def counts_fn(logits, labels, mask):
+    preds = (jax.nn.sigmoid(logits) > TH_FSCORE).astype(jnp.float32)
+    return multilabel_counts(preds, labels, mask)
+
+
+def _setup_data(args, parallel_ctx):
+    batchsize = args.batchsize
+    if parallel_ctx is not None:
+        batchsize = pad_batch_to_multiple(batchsize, parallel_ctx.num_devices)
+    datasets = {
+        s: MMIMDBDataset(args.datadir, s, small_dataset=args.small_dataset,
+                         num_workers=args.num_workers)
+        for s in ("train", "dev", "test")
+    }
+    dataset_sizes = {s: len(d) for s, d in datasets.items()}
+    sharding = parallel_ctx.batch_sharding if parallel_ctx else None
+
+    def loader(stage):
+        def make(epoch):
+            it = datasets[stage].batches(
+                batchsize, shuffle=True,
+                seed=(args.seed * 1000003 + epoch * 131 + hash(stage) % 97))
+            return device_prefetch(it, size=2, sharding=sharding)
+        return make
+
+    loaders = {s: loader(s) for s in ("train", "dev", "test")}
+    return datasets, dataset_sizes, loaders, batchsize
+
+
+def _first_batch(datasets, batchsize):
+    return next(iter(datasets["train"].batches(batchsize, shuffle=False)))
+
+
+def _maybe_parallel(args):
+    if args.parallel and len(jax.devices()) > 1:
+        return make_parallel_context()
+    return None
+
+
+def _init_state(model, arch, batch, args, frozen_prefixes):
+    rng = jax.random.PRNGKey(args.seed)
+    k_init, k_drop, k_state = jax.random.split(rng, 3)
+    variables = model.init({"params": k_init, "dropout": k_drop},
+                           batch, arch, True)
+    labels = make_param_labels(variables["params"], frozen_prefixes)
+    w_tx = make_weight_optimizer(labels, weight_decay=args.weight_decay)
+    arch_tx = (make_arch_optimizer(args.arch_learning_rate,
+                                   args.arch_weight_decay)
+               if arch is not None else None)
+    state = TrainState(
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        arch=arch,
+        opt_w=w_tx.init(variables["params"]),
+        opt_arch=arch_tx.init(arch) if arch_tx is not None else None,
+        rng=k_state,
+        step=jnp.asarray(0, jnp.int32),
+    )
+    return state, w_tx, arch_tx
+
+
+def _make_apply(model):
+    def apply_fn(variables, batch, arch, train, rngs, mutable):
+        if mutable:
+            return model.apply(variables, batch, arch, train,
+                               rngs=rngs, mutable=mutable)
+        return model.apply(variables, batch, arch, train)
+    return apply_fn
+
+
+def run_search(args, logger):
+    """Bilevel search (mmimdb_darts_searchable.py:19-55)."""
+    parallel_ctx = _maybe_parallel(args)
+    datasets, dataset_sizes, loaders, batchsize = _setup_data(args, parallel_ctx)
+    nbpe = dataset_sizes["train"] / args.batchsize
+
+    model = SearchableImageTextNet(**model_kwargs_from_args(args))
+    arch = init_arch_params(jax.random.PRNGKey(args.seed + 1), args.steps,
+                            args.num_input_nodes, args.node_steps)
+    batch = _first_batch(datasets, batchsize)
+    state, w_tx, arch_tx = _init_state(model, arch, batch, args,
+                                       MMIMDB_FROZEN_PREFIXES)
+    if parallel_ctx is not None:
+        state = parallel_ctx.replicate(state)
+
+    fns = build_step_functions(_make_apply(model), bce_with_logits, counts_fn,
+                               w_tx, arch_tx)
+    scheduler = LRCosineAnnealingScheduler(args.eta_max, args.eta_min,
+                                           args.Ti, args.Tm, nbpe)
+
+    def genotype_fn(st):
+        return derive_genotype_from_arch(
+            st.arch, args.steps, args.multiplier, args.num_input_nodes,
+            args.node_steps, args.node_multiplier)
+
+    if args.resume:
+        state, extra = ckpt.restore_state(args.resume, state)
+        scheduler.load_state(extra["scheduler"])
+        logger.info("Resumed from %s at epoch %s", args.resume, extra["epoch"])
+
+    best_f1, best_genotype, state = train_loop.run_training(
+        task="mmimdb", status="search", fns=fns, state=state,
+        scheduler=scheduler, loaders=loaders, dataset_sizes=dataset_sizes,
+        num_epochs=args.epochs, metric="f1", f1_type=args.f1_type,
+        args=args, logger=logger, plotter=Plotter(args),
+        genotype_fn=genotype_fn)
+    return best_f1, best_genotype
+
+
+def run_found(args, logger, genotype, test_model_path=None):
+    """Found-net retraining, or test-only when ``test_model_path`` is given
+    (main_darts_found_mmimdb.py:96-153)."""
+    parallel_ctx = _maybe_parallel(args)
+    datasets, dataset_sizes, loaders, batchsize = _setup_data(args, parallel_ctx)
+    nbpe = dataset_sizes["train"] / args.batchsize
+
+    model = FoundImageTextNet.from_genotype(genotype,
+                                            **model_kwargs_from_args(args))
+    batch = _first_batch(datasets, batchsize)
+    # eval-phase optimizer covers ALL params incl. backbones, Adam(eta_max,
+    # wd=1e-4 hardcoded) (main_darts_found_mmimdb.py:114-121)
+    state, w_tx, _ = _init_state(model, None, batch, args, frozen_prefixes=())
+    if parallel_ctx is not None:
+        state = parallel_ctx.replicate(state)
+    fns = build_step_functions(_make_apply(model), bce_with_logits, counts_fn,
+                               w_tx, None)
+    scheduler = LRCosineAnnealingScheduler(args.eta_max, args.eta_min,
+                                           args.Ti, args.Tm, nbpe)
+
+    if test_model_path is not None:
+        snap = ckpt.load_model(test_model_path)
+        state = state.replace(params=snap["params"],
+                              batch_stats=snap["batch_stats"])
+        counts_total = None
+        for b in loaders["test"](0):
+            c = fns.eval_step(state, b)
+            counts_total = c if counts_total is None else jax.tree_util.tree_map(
+                lambda a, x: a + x, counts_total, c)
+        host = {k: np.asarray(v) for k, v in counts_total.items()}
+        loss = float(host["loss_sum"]) / dataset_sizes["test"]
+        f1 = f1_from_counts(host, average=args.f1_type, zero_division=1.0)
+        logger.info(str(genotype))
+        logger.info('test Loss: {:.4f}, {} F1: {:.4f}'.format(
+            loss, args.f1_type, f1))
+        return f1
+
+    if args.resume:
+        state, extra = ckpt.restore_state(args.resume, state)
+        scheduler.load_state(extra["scheduler"])
+        logger.info("Resumed from %s at epoch %s", args.resume, extra["epoch"])
+
+    best_f1, _, state = train_loop.run_training(
+        task="mmimdb", status="eval", fns=fns, state=state,
+        scheduler=scheduler, loaders=loaders, dataset_sizes=dataset_sizes,
+        num_epochs=args.epochs, metric="f1", f1_type=args.f1_type,
+        args=args, logger=logger, plotter=Plotter(args),
+        genotype_fn=lambda st: genotype)
+    return best_f1
+
+
+def main_search(argv=None):
+    args = parse_search_args(argv)
+    np.random.seed(args.seed)
+    args.save = 'search-{}-{}'.format(args.save, time.strftime("%Y%m%d-%H%M%S"))
+    args.save = os.path.join('final_exp/mmimdb', args.save)
+    create_exp_dir(args.save)
+    logger = setup_logger(args.save)
+    logger.info("args = %s", args)
+    logger.info("BM-NAS for MM-IMDB Started.")
+    start_time = time.time()
+    best_f1, best_genotype = run_search(args, logger)
+    time_elapsed = time.time() - start_time
+    logger.info("*" * 50)
+    logger.info('Searching complete in {:.0f}m {:.0f}s'.format(
+        time_elapsed // 60, time_elapsed % 60))
+    logger.info('Now listing best fusion_net genotype:')
+    logger.info(best_genotype)
+    return best_f1, best_genotype
+
+
+def main_found(argv=None):
+    args = parse_found_args(argv)
+    test_only = False
+    test_model_path = None
+
+    if args.eval_exp_dir is not None:
+        test_only = True
+        args.save = 'test-{}-{}'.format(args.save, time.strftime("%Y%m%d-%H%M%S"))
+        args.save = os.path.join(args.eval_exp_dir, args.save)
+        test_model_path = os.path.join(args.eval_exp_dir, 'best',
+                                       'best_test_model.pt')
+        best_genotype_path = os.path.join(args.eval_exp_dir, 'best',
+                                          'best_test_genotype.pkl')
+    elif args.search_exp_dir is not None:
+        best_genotype_path = os.path.join(args.search_exp_dir, 'best',
+                                          'best_genotype.pkl')
+        args.save = 'eval-{}-{}'.format(args.save, time.strftime("%Y%m%d-%H%M%S"))
+        args.save = os.path.join(args.search_exp_dir, args.save)
+    else:
+        raise SystemExit("one of --search_exp_dir / --eval_exp_dir is required")
+
+    np.random.seed(args.seed)
+    create_exp_dir(args.save)
+    logger = setup_logger(args.save)
+    logger.info("args = %s", args)
+
+    genotype = load_genotype(best_genotype_path)
+    start_time = time.time()
+    model_f1 = run_found(args, logger, genotype, test_model_path if test_only else None)
+    time_elapsed = time.time() - start_time
+    logger.info("*" * 50)
+    logger.info('Total duration {:.0f}m {:.0f}s'.format(
+        time_elapsed // 60, time_elapsed % 60))
+    logger.info('Final model {} F1: {}'.format(args.f1_type, model_f1))
+    return model_f1

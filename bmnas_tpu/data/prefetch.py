@@ -1,0 +1,49 @@
+"""Host->device prefetching input pipeline.
+
+The reference overlaps data loading with compute via DataLoader worker
+processes (num_workers, models/darts_searchable.py:39-41). The TPU-native
+equivalent: a background thread stages the next host batch onto the device
+(optionally sharded over the mesh) while the current step runs, so the
+device never waits on host IO for these small batches.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Iterator, Optional
+
+import jax
+
+
+def device_prefetch(iterator: Iterator[Any], size: int = 2,
+                    sharding: Optional[Any] = None) -> Iterator[Any]:
+    """Wrap a host-batch iterator; yields device-resident batches."""
+
+    def _put(batch):
+        if sharding is not None:
+            return jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, sharding), batch)
+        return jax.tree_util.tree_map(jax.device_put, batch)
+
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    sentinel = object()
+    err_holder = []
+
+    def worker():
+        try:
+            for batch in iterator:
+                q.put(_put(batch))
+        except Exception as e:  # surface loader errors on the consumer side
+            err_holder.append(e)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if err_holder:
+                raise err_holder[0]
+            return
+        yield item

@@ -11,12 +11,18 @@ Rebuild of the reference training machinery:
     dev metric forward happens *after* the arch update, updating BN stats a
     second time.
 
-TPU-first notes: each step is a single jitted function with donated state;
-metrics are accumulated on device (utils.metrics) so an epoch incurs no
-per-batch host syncs; the scalar LR (host-computed, see search/scheduler.py)
-enters as a dynamic scalar argument so LR changes never retrigger
-compilation. Optimizers are optax chains matching torch.optim.Adam semantics
-(L2 weight decay added to the gradient before the moment updates).
+TPU-first notes:
+  * each step is a single jitted function with donated state;
+  * all shapes are static: the last (partial) batch of an epoch is padded to
+    the full batch size and carries a ``mask`` row-validity vector — losses
+    and metric counts are mask-weighted so the numbers match the reference's
+    dynamic-batch semantics exactly;
+  * metrics AND the running loss are accumulated on device (counts dicts);
+    nothing crosses to the host per batch;
+  * the scalar LR (host-computed, see search/scheduler.py) enters as a
+    dynamic scalar argument so LR changes never retrigger compilation;
+  * optimizers are optax chains matching torch.optim.Adam semantics (L2
+    weight decay added to the gradient before the moment updates).
 """
 from __future__ import annotations
 
@@ -80,27 +86,36 @@ def make_arch_optimizer(lr: float, weight_decay: float
 
 
 # Criteria ------------------------------------------------------------------
+# Signature: (logits, labels, mask) -> scalar. ``mask`` is a (B,) row-validity
+# vector; with a full mask these equal the torch criteria exactly.
 
-def bce_with_logits(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
-    """torch BCEWithLogitsLoss (mean over all elements)."""
-    return optax.sigmoid_binary_cross_entropy(logits, labels).mean()
+def bce_with_logits(logits: jnp.ndarray, labels: jnp.ndarray,
+                    mask: jnp.ndarray) -> jnp.ndarray:
+    """torch BCEWithLogitsLoss (mean over all elements of the valid rows)."""
+    per_row = optax.sigmoid_binary_cross_entropy(logits, labels).mean(axis=-1)
+    return (per_row * mask).sum() / jnp.maximum(mask.sum(), 1.0)
 
 
-def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
-    """torch CrossEntropyLoss with integer labels (mean)."""
-    return optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
+def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray,
+                  mask: jnp.ndarray) -> jnp.ndarray:
+    """torch CrossEntropyLoss with integer labels (masked mean)."""
+    per_row = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+    return (per_row * mask).sum() / jnp.maximum(mask.sum(), 1.0)
 
 
 @dataclasses.dataclass(frozen=True)
 class StepFunctions:
     """Jitted step functions for one task model.
 
-    weight_step(state, batch, eta)      -> (state', loss, counts)
-    arch_step(state, batch)             -> (state', loss, counts)  [search dev]
-    eval_step(state, batch)             -> (loss, counts)          [model.eval()]
+    weight_step(state, batch, eta) -> (state', counts)
+    arch_step(state, batch)        -> (state', counts)   [search dev phase]
+    eval_step(state, batch)        -> counts             [model.eval()]
+
+    ``counts`` always contains 'loss_sum' (sum of per-sample losses) and
+    'valid' (number of real rows) in addition to the task metric counts.
     """
     weight_step: Callable
-    arch_step: Callable
+    arch_step: Optional[Callable]
     eval_step: Callable
 
 
@@ -116,8 +131,19 @@ def build_step_functions(
 
     ``apply_fn(variables, batch, arch, train, rngs, mutable)`` must return
     ``logits`` (and the mutated variables dict when ``mutable`` is non-empty).
-    ``counts_fn(logits, labels)`` produces the on-device metric counts.
+    ``counts_fn(logits, labels, mask)`` produces the on-device metric counts.
     """
+
+    def _mask(batch):
+        if "mask" in batch:
+            return batch["mask"]
+        return jnp.ones((batch["label"].shape[0],), jnp.float32)
+
+    def _with_loss(counts, loss, mask):
+        counts = dict(counts)
+        counts["loss_sum"] = loss * mask.sum()
+        counts["valid"] = mask.sum()
+        return counts
 
     def _forward_train(params, batch_stats, arch, batch, rng):
         variables = {"params": params, "batch_stats": batch_stats}
@@ -128,12 +154,13 @@ def build_step_functions(
 
     def weight_step(state: TrainState, batch: Batch, eta: jnp.ndarray):
         rng, step_rng = jax.random.split(state.rng)
+        mask = _mask(batch)
 
         def loss_fn(params):
             logits, new_bs = _forward_train(
                 params, state.batch_stats, state.arch, batch, step_rng
             )
-            return criterion(logits, batch["label"]), (logits, new_bs)
+            return criterion(logits, batch["label"], mask), (logits, new_bs)
 
         (loss, (logits, new_bs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
@@ -142,12 +169,12 @@ def build_step_functions(
         new_params = jax.tree_util.tree_map(
             lambda p, u: p - eta * u, state.params, updates
         )
-        counts = counts_fn(logits, batch["label"])
+        counts = _with_loss(counts_fn(logits, batch["label"], mask), loss, mask)
         new_state = state.replace(
             params=new_params, batch_stats=new_bs, opt_w=new_opt_w,
             rng=rng, step=state.step + 1,
         )
-        return new_state, loss, counts
+        return new_state, counts
 
     def arch_step(state: TrainState, batch: Batch):
         """Search dev-phase batch: arch update then metric forward.
@@ -157,12 +184,13 @@ def build_step_functions(
         loop (train_searchable/mmimdb.py:77-105).
         """
         rng, k1, k2 = jax.random.split(state.rng, 3)
+        mask = _mask(batch)
 
         def arch_loss(arch):
             logits, new_bs = _forward_train(
                 state.params, state.batch_stats, arch, batch, k1
             )
-            return criterion(logits, batch["label"]), new_bs
+            return criterion(logits, batch["label"], mask), new_bs
 
         (_, bs_after_arch), arch_grads = jax.value_and_grad(
             arch_loss, has_aux=True
@@ -176,19 +204,20 @@ def build_step_functions(
         logits, new_bs = _forward_train(
             state.params, bs_after_arch, new_arch, batch, k2
         )
-        loss = criterion(logits, batch["label"])
-        counts = counts_fn(logits, batch["label"])
+        loss = criterion(logits, batch["label"], mask)
+        counts = _with_loss(counts_fn(logits, batch["label"], mask), loss, mask)
         new_state = state.replace(
             arch=new_arch, opt_arch=new_opt_arch, batch_stats=new_bs, rng=rng,
         )
-        return new_state, loss, counts
+        return new_state, counts
 
     def eval_step(state: TrainState, batch: Batch):
         """model.eval(): running BN stats, no dropout, no updates."""
+        mask = _mask(batch)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         logits = apply_fn(variables, batch, state.arch, False, None, [])
-        loss = criterion(logits, batch["label"])
-        return loss, counts_fn(logits, batch["label"])
+        loss = criterion(logits, batch["label"], mask)
+        return _with_loss(counts_fn(logits, batch["label"], mask), loss, mask)
 
     dn = (0,) if donate else ()
     return StepFunctions(

@@ -1,0 +1,208 @@
+"""Generic epoch driver for search ('search') and found retraining ('eval').
+
+Rebuild of the three near-identical train loops
+``models/search/train_searchable/{mmimdb,ntu,ego}.py`` as one engine:
+
+* phase schedule: search -> [train, dev]; eval -> [train, dev, test] for
+  mmimdb (dev also trains! train_searchable/mmimdb.py:36-38,85,96) and
+  [train, test] for ntu/ego (train_searchable/ntu.py:31-36);
+* per-batch cosine LR stepping on every weight-update batch
+  (mmimdb.py:96-99);
+* arch (DARTS) steps on every dev batch during search (mmimdb.py:77-78);
+* NaN-loss escape (mmimdb.py:150-153) and the NaN-metric one-extra-epoch
+  failsafe (mmimdb.py:25-27,191-197);
+* best-dev / best-test snapshots to ``<exp>/best/{best_model.pt,
+  best_genotype.pkl,best_test_model.pt,best_test_genotype.pkl}``
+  (mmimdb.py:155-182) and per-epoch genotype plots to
+  ``<exp>/architectures/epoch_N`` (mmimdb.py:184-186);
+* log-line format parity ('{phase} Loss: ..., {f1} F1: ...' /
+  '{phase} Loss: ... Acc: ...', 'Fusion Model Params: N', ...).
+
+All metric/loss accumulation stays on device; one host transfer of a
+counts dict per phase (vs. the reference's per-batch .item()/.cpu() syncs).
+Adds per-epoch full-state resume checkpoints (absent in the reference).
+"""
+from __future__ import annotations
+
+import copy
+import math
+import os
+from typing import Callable, Dict, Optional
+
+import jax
+import numpy as np
+
+from bmnas_tpu.genotype import Genotype, save_genotype
+from bmnas_tpu.search.bilevel import StepFunctions, TrainState
+from bmnas_tpu.search.scheduler import LRCosineAnnealingScheduler
+from bmnas_tpu.utils import checkpoint as ckpt
+from bmnas_tpu.utils.metrics import count_parameters, f1_from_counts
+
+
+def _accumulate(total, counts):
+    if total is None:
+        return counts
+    return jax.tree_util.tree_map(lambda a, b: a + b, total, counts)
+
+
+def _finalize_metric(counts: Dict[str, np.ndarray], metric: str,
+                     f1_type: str, dataset_size: int):
+    host = {k: np.asarray(v) for k, v in counts.items()}
+    loss = float(host["loss_sum"]) / dataset_size
+    if metric == "f1":
+        value = f1_from_counts(host, average=f1_type, zero_division=1.0)
+    else:
+        value = float(host["correct"]) / dataset_size
+    return loss, value
+
+
+def run_training(
+    *,
+    task: str,
+    status: str,                      # 'search' | 'eval'
+    fns: StepFunctions,
+    state: TrainState,
+    scheduler: LRCosineAnnealingScheduler,
+    loaders: Dict[str, Callable],      # phase -> fn(epoch) -> batch iterator
+    dataset_sizes: Dict[str, int],
+    num_epochs: int,
+    metric: str,                       # 'f1' | 'acc'
+    f1_type: str,
+    args,
+    logger,
+    plotter,
+    genotype_fn: Optional[Callable[[TrainState], Genotype]],
+    fusion_param_keys: Callable[[str], bool] = None,
+    save_resume: bool = True,
+):
+    """Returns (best_metric, best_genotype, state). In search mode the best
+    is tracked on dev; in eval mode on test (train_searchable/mmimdb.py:202-205)."""
+    if fusion_param_keys is None:
+        fusion_param_keys = lambda k: k.startswith("reshape_") or k == "fusion_net"
+
+    best_metric, best_genotype, best_epoch = 0.0, None, 0
+    best_test_metric, best_test_genotype, best_test_epoch = 0.0, None, 0
+
+    if status == "search":
+        phases = ["train", "dev"]
+    elif task == "mmimdb":
+        phases = ["train", "dev", "test"]
+    else:
+        phases = ["train", "test"]
+
+    failsafe = True
+    cont_overloop = 0
+    while failsafe:
+        for epoch in range(num_epochs):
+            logger.info("Epoch: {}".format(epoch))
+            logger.info("EXP: {}".format(args.save))
+
+            genotype = None
+            for phase in phases:
+                trains_weights = phase == "train" or (
+                    phase == "dev" and status == "eval")
+                arch_steps = status == "search" and phase in ("dev", "test")
+
+                counts_total = None
+                for batch in loaders[phase](epoch):
+                    if arch_steps:
+                        state, counts = fns.arch_step(state, batch)
+                    elif trains_weights:
+                        eta = scheduler.step()
+                        state, counts = fns.weight_step(
+                            state, batch, np.float32(eta))
+                    else:
+                        counts = fns.eval_step(state, batch)
+                    counts_total = _accumulate(counts_total, counts)
+
+                epoch_loss, epoch_metric = _finalize_metric(
+                    counts_total, metric, f1_type, dataset_sizes[phase])
+
+                if metric == "f1":
+                    logger.info("{} Loss: {:.4f}, {} F1: {:.4f}".format(
+                        phase, epoch_loss, f1_type, epoch_metric))
+                else:
+                    logger.info("{} Loss: {:.4f} Acc: {:.4f}".format(
+                        phase, epoch_loss, epoch_metric))
+
+                num_params = sum(
+                    count_parameters(v) for k, v in state.params.items()
+                    if fusion_param_keys(k))
+                logger.info("Fusion Model Params: {}".format(num_params))
+
+                genotype = genotype_fn(state) if genotype_fn else None
+                if genotype is not None:
+                    logger.info(str(genotype))
+
+                if phase == "train" and math.isnan(epoch_loss):
+                    logger.info("Nan loss during training, escaping")
+                    return best_metric, best_genotype, state
+
+                if phase == "dev" and status == "search":
+                    is_better = (epoch_metric > best_metric if task == "mmimdb"
+                                 else epoch_metric >= best_metric)
+                    if is_better:
+                        best_metric = epoch_metric
+                        best_genotype = copy.deepcopy(genotype)
+                        best_epoch = epoch
+                        ckpt.save_model(
+                            os.path.join(args.save, "best", "best_model.pt"),
+                            state.params, state.batch_stats, state.arch)
+                        if best_genotype is not None:
+                            save_genotype(best_genotype, os.path.join(
+                                args.save, "best", "best_genotype.pkl"))
+
+                if phase == "test":
+                    is_better = (epoch_metric > best_test_metric
+                                 if task == "mmimdb"
+                                 else epoch_metric >= best_test_metric)
+                    if is_better:
+                        best_test_metric = epoch_metric
+                        best_test_genotype = copy.deepcopy(genotype)
+                        best_test_epoch = epoch
+                        ckpt.save_model(
+                            os.path.join(args.save, "best",
+                                         "best_test_model.pt"),
+                            state.params, state.batch_stats, state.arch)
+                        if best_test_genotype is not None:
+                            save_genotype(best_test_genotype, os.path.join(
+                                args.save, "best", "best_test_genotype.pkl"))
+
+            if plotter is not None and genotype is not None:
+                plotter.plot(genotype,
+                             os.path.join(args.save, "architectures",
+                                          "epoch_{}".format(epoch)),
+                             task=task)
+
+            if metric == "f1":
+                logger.info("Current best dev {} F1: {}, at training epoch: {}"
+                            .format(f1_type, best_metric, best_epoch))
+                logger.info("Current best test {} F1: {}, at training epoch: {}"
+                            .format(f1_type, best_test_metric, best_test_epoch))
+            else:
+                logger.info("Current best dev accuracy: {}, at training epoch: {}"
+                            .format(best_metric, best_epoch))
+                logger.info("Current best test accuracy: {}, at training epoch: {}"
+                            .format(best_test_metric, best_test_epoch))
+
+            if save_resume:
+                ckpt.save_state(
+                    os.path.join(args.save, "checkpoint.msgpack"), state,
+                    extra={"epoch": epoch, "scheduler": scheduler.state(),
+                           "best_metric": best_metric,
+                           "best_test_metric": best_test_metric})
+
+        # NaN-metric failsafe (train one more epoch; mmimdb.py:191-197)
+        if math.isnan(best_metric) and num_epochs == 1 and cont_overloop < 1:
+            failsafe = True
+            logger.info("Recording a NaN F1, training for one more epoch.")
+        else:
+            failsafe = False
+        cont_overloop += 1
+
+    if math.isnan(best_metric):
+        best_metric = 0.0
+
+    if status == "search":
+        return best_metric, best_genotype, state
+    return best_test_metric, best_test_genotype, state

@@ -20,17 +20,22 @@ import numpy as np
 # On-device accumulation
 # ---------------------------------------------------------------------------
 
-def multilabel_counts(preds: jnp.ndarray, labels: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+def multilabel_counts(preds: jnp.ndarray, labels: jnp.ndarray,
+                      mask: jnp.ndarray = None) -> Dict[str, jnp.ndarray]:
     """Per-class TP/FP/FN + per-sample sums for one batch.
 
-    preds/labels: (B, C) {0,1}. Returns float32 vectors; accumulate by
-    summation across batches.
+    preds/labels: (B, C) {0,1}; mask: optional (B,) row validity (padded rows
+    of a static-shape final batch contribute nothing). Returns float32
+    vectors; accumulate by summation across batches.
     """
     preds = preds.astype(jnp.float32)
     labels = labels.astype(jnp.float32)
-    tp = jnp.sum(preds * labels, axis=0)
-    fp = jnp.sum(preds * (1.0 - labels), axis=0)
-    fn = jnp.sum((1.0 - preds) * labels, axis=0)
+    if mask is None:
+        mask = jnp.ones((preds.shape[0],), jnp.float32)
+    m = mask[:, None]
+    tp = jnp.sum(preds * labels * m, axis=0)
+    fp = jnp.sum(preds * (1.0 - labels) * m, axis=0)
+    fn = jnp.sum((1.0 - preds) * labels * m, axis=0)
     # samples-average F1 needs per-sample f1 averaged over samples.
     tp_s = jnp.sum(preds * labels, axis=1)
     denom_s = jnp.sum(preds, axis=1) + jnp.sum(labels, axis=1)
@@ -39,8 +44,8 @@ def multilabel_counts(preds: jnp.ndarray, labels: jnp.ndarray) -> Dict[str, jnp.
         "tp": tp,
         "fp": fp,
         "fn": fn,
-        "samples_f1_sum": jnp.sum(f1_s),
-        "count": jnp.asarray(preds.shape[0], jnp.float32),
+        "samples_f1_sum": jnp.sum(f1_s * mask),
+        "count": jnp.sum(mask),
     }
 
 
@@ -100,11 +105,14 @@ def f1_score_np(y_true: np.ndarray, y_pred: np.ndarray, average: str = "weighted
 # Classification accuracy (NTU / Ego tasks)
 # ---------------------------------------------------------------------------
 
-def accuracy_counts(logits: jnp.ndarray, labels: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+def accuracy_counts(logits: jnp.ndarray, labels: jnp.ndarray,
+                    mask: jnp.ndarray = None) -> Dict[str, jnp.ndarray]:
     preds = jnp.argmax(logits, axis=-1)
+    if mask is None:
+        mask = jnp.ones((logits.shape[0],), jnp.float32)
     return {
-        "correct": jnp.sum((preds == labels).astype(jnp.float32)),
-        "count": jnp.asarray(logits.shape[0], jnp.float32),
+        "correct": jnp.sum((preds == labels).astype(jnp.float32) * mask),
+        "count": jnp.sum(mask),
     }
 
 

@@ -60,9 +60,9 @@ def make_apply(model):
     return apply_fn
 
 
-def counts_fn(logits, labels):
+def counts_fn(logits, labels, mask):
     preds = (jax.nn.sigmoid(logits) > 0.3).astype(jnp.float32)
-    return multilabel_counts(preds, labels)
+    return multilabel_counts(preds, labels, mask)
 
 
 def make_state(model, variables, arch):
@@ -87,8 +87,8 @@ class TestBilevel:
     def test_weight_step_updates_central_only(self, setup):
         model, variables, arch, batch = setup
         state, fns = make_state(model, variables, arch)
-        new_state, loss, counts = fns.weight_step(state, batch, jnp.asarray(1e-3))
-        assert np.isfinite(float(loss))
+        new_state, counts = fns.weight_step(state, batch, jnp.asarray(1e-3))
+        assert np.isfinite(float(counts['loss_sum']))
         # frozen backbones unchanged
         for prefix in MMIMDB_FROZEN_PREFIXES:
             old = jax.tree_util.tree_leaves(state.params[prefix])
@@ -121,8 +121,8 @@ class TestBilevel:
     def test_arch_step_moves_arch_not_params(self, setup):
         model, variables, arch, batch = setup
         state, fns = make_state(model, variables, arch)
-        new_state, loss, counts = fns.arch_step(state, batch)
-        assert np.isfinite(float(loss))
+        new_state, counts = fns.arch_step(state, batch)
+        assert np.isfinite(float(counts['loss_sum']))
         for o, n in zip(jax.tree_util.tree_leaves(state.params),
                         jax.tree_util.tree_leaves(new_state.params)):
             np.testing.assert_array_equal(np.asarray(o), np.asarray(n))
@@ -136,16 +136,16 @@ class TestBilevel:
     def test_eval_step_is_pure(self, setup):
         model, variables, arch, batch = setup
         state, fns = make_state(model, variables, arch)
-        loss1, c1 = fns.eval_step(state, batch)
-        loss2, c2 = fns.eval_step(state, batch)
-        assert float(loss1) == float(loss2)
+        c1 = fns.eval_step(state, batch)
+        c2 = fns.eval_step(state, batch)
+        assert float(c1['loss_sum']) == float(c2['loss_sum'])
 
     def test_search_to_found_round_trip(self, setup, tmp_path):
         model, variables, arch, batch = setup
         state, fns = make_state(model, variables, arch)
         for i in range(2):
-            state, _, _ = fns.weight_step(state, batch, jnp.asarray(1e-3))
-            state, _, _ = fns.arch_step(state, batch)
+            state, _ = fns.weight_step(state, batch, jnp.asarray(1e-3))
+            state, _ = fns.arch_step(state, batch)
         genotype = derive_genotype_from_arch(
             state.arch, CFG["steps"], CFG["multiplier"], CFG["num_input_nodes"],
             CFG["node_steps"], CFG["node_multiplier"])

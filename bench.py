@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""Benchmark: MM-IMDB bilevel-search step throughput on the attached TPU.
+
+Measures steady-state per-batch times of the two jitted search steps (weight
+update on a train batch; DARTS arch update on a dev batch) at the reference
+workload scale (batch 8, C=192, L=16, VGG-19 image backbone, 160x256 images
+— datasets/mmimdb.py + main_darts_searchable_mmimdb.py defaults), projects a
+full 30-epoch search (1944 weight batches + 326 arch batches per epoch), and
+reports samples/sec.
+
+vs_baseline compares against the north-star rate: full search in <= 1 hour
+(BASELINE.md), i.e. 30*(15552+2608)/3600 = 151.3 samples/s for the whole
+accelerator. A single v5e chip hitting >= ~0.125 of that is on target for an
+8-chip slice (DP scales linearly here; the model is tiny vs. ICI).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+TRAIN_N, DEV_N = 15552, 2608
+BATCH = 8
+EPOCHS = 30
+TARGET_SECONDS = 3600.0
+
+
+def main():
+    from bmnas_tpu.models.mmimdb import (
+        MMIMDB_FROZEN_PREFIXES,
+        SearchableImageTextNet,
+    )
+    from bmnas_tpu.models.supernet import init_arch_params
+    from bmnas_tpu.search.bilevel import (
+        TrainState,
+        bce_with_logits,
+        build_step_functions,
+        make_arch_optimizer,
+        make_param_labels,
+        make_weight_optimizer,
+    )
+    from bmnas_tpu.utils.metrics import multilabel_counts
+
+    cfg = dict(C=192, L=16, steps=2, multiplier=2, node_steps=1,
+               node_multiplier=1, num_input_nodes=6, num_keep_edges=2,
+               num_outputs=23, drpt=0.1)
+    r = np.random.RandomState(0)
+
+    def make_batch(seed):
+        rr = np.random.RandomState(seed)
+        return {
+            "image": jnp.asarray(rr.randn(BATCH, 160, 256, 3).astype(np.float32)),
+            "text": jnp.asarray(rr.randn(BATCH, 300).astype(np.float32)),
+            "label": jnp.asarray((rr.rand(BATCH, 23) < 0.2).astype(np.float32)),
+            "mask": jnp.ones((BATCH,), jnp.float32),
+        }
+
+    model = SearchableImageTextNet(**cfg)
+    arch = init_arch_params(jax.random.PRNGKey(1), cfg["steps"],
+                            cfg["num_input_nodes"], cfg["node_steps"])
+    batch = make_batch(0)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(2)},
+        batch, arch, True)
+    labels = make_param_labels(variables["params"], MMIMDB_FROZEN_PREFIXES)
+    w_tx = make_weight_optimizer(labels, weight_decay=1e-4)
+    arch_tx = make_arch_optimizer(3e-4, 1e-3)
+    state = TrainState(
+        params=variables["params"], batch_stats=variables["batch_stats"],
+        arch=arch, opt_w=w_tx.init(variables["params"]),
+        opt_arch=arch_tx.init(arch), rng=jax.random.PRNGKey(3),
+        step=jnp.asarray(0, jnp.int32))
+
+    def apply_fn(vs, b, a, train, rngs, mutable):
+        if mutable:
+            return model.apply(vs, b, a, train, rngs=rngs, mutable=mutable)
+        return model.apply(vs, b, a, train)
+
+    def counts_fn(logits, lab, mask):
+        preds = (jax.nn.sigmoid(logits) > 0.3).astype(jnp.float32)
+        return multilabel_counts(preds, lab, mask)
+
+    fns = build_step_functions(apply_fn, bce_with_logits, counts_fn,
+                               w_tx, arch_tx, donate=True)
+
+    eta = np.float32(1e-3)
+    batches = [make_batch(i) for i in range(4)]
+
+    # warmup (compile both steps)
+    for i in range(3):
+        state, c = fns.weight_step(state, batches[i % 4], eta)
+    jax.block_until_ready(c["loss_sum"])
+    for i in range(3):
+        state, c = fns.arch_step(state, batches[i % 4])
+    jax.block_until_ready(c["loss_sum"])
+
+    def timeit(fn_call, iters=20):
+        t0 = time.perf_counter()
+        nonlocal_state = None
+        s = state
+        for i in range(iters):
+            s, c = fn_call(s, batches[i % 4])
+        jax.block_until_ready(c["loss_sum"])
+        return (time.perf_counter() - t0) / iters, s
+
+    t_w, _s = timeit(lambda s, b: fns.weight_step(s, b, eta))
+    t_a, _s = timeit(lambda s, b: fns.arch_step(s, b))
+
+    w_batches = -(-TRAIN_N // BATCH)
+    a_batches = -(-DEV_N // BATCH)
+    epoch_time = w_batches * t_w + a_batches * t_a
+    samples_per_sec = (TRAIN_N + DEV_N) / epoch_time
+    search_time = EPOCHS * epoch_time
+    required_rate = EPOCHS * (TRAIN_N + DEV_N) / TARGET_SECONDS
+    print(json.dumps({
+        "metric": "mmimdb_search_throughput",
+        "value": round(samples_per_sec, 2),
+        "unit": "samples/s",
+        "vs_baseline": round(samples_per_sec / required_rate, 4),
+        "detail": {
+            "weight_step_ms": round(t_w * 1e3, 2),
+            "arch_step_ms": round(t_a * 1e3, 2),
+            "projected_search_minutes": round(search_time / 60.0, 1),
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,84 @@
+"""Inflated 3D ResNet-50 (NTU RGB backbone).
+
+Rebuild of ``models/auxiliary/{inflated_resnet.py,resnet/resnet.py,
+resnet/bottleneck.py}``: a 2D 7x7/s2 stem applied per frame, then four
+stages of Bottleneck3D blocks (1x1x1 -> 3x3x3 -> 1x1x1, spatial-only stride),
+feature maps tapped after every stage (``get_feature_maps``,
+resnet/resnet.py:73-122).
+
+Layout: (B, T, H, W, C) channels-last throughout — the reference's 5D<->4D
+``transform_input`` reshuffles (resnet.py:125-138) reduce to a single
+fold/unfold of T into the batch dim for the 2D stem.
+
+ImageNet 2D->3D weight inflation (repeat along T, zero all but the center
+slice — imagenet_pretraining.py:6-23) is implemented in
+``bmnas_tpu/utils/torch_convert.py`` and applied when importing a torch
+ResNet-50 checkpoint; random init otherwise.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from bmnas_tpu.ops.layers import BatchNorm
+
+
+class Bottleneck3D(nn.Module):
+    """resnet/bottleneck.py:4-42. Spatial-only stride (1, s, s)."""
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        residual = x
+        out = nn.Conv(self.planes, (1, 1, 1), use_bias=False, name="conv1")(x)
+        out = BatchNorm(name="bn1")(out, train)
+        out = nn.relu(out)
+        out = nn.Conv(self.planes, (3, 3, 3),
+                      strides=(1, self.stride, self.stride),
+                      padding=1, use_bias=False, name="conv2")(out)
+        out = BatchNorm(name="bn2")(out, train)
+        out = nn.relu(out)
+        out = nn.Conv(self.planes * 4, (1, 1, 1), use_bias=False,
+                      name="conv3")(out)
+        out = BatchNorm(name="bn3")(out, train)
+        if self.downsample:
+            residual = nn.Conv(self.planes * 4, (1, 1, 1),
+                               strides=(1, self.stride, self.stride),
+                               use_bias=False, name="downsample_conv")(x)
+            residual = BatchNorm(name="downsample_bn")(residual, train)
+        return nn.relu(out + residual)
+
+
+class InflatedResNet50(nn.Module):
+    """Stem (2D per-frame) + layers [3, 4, 6, 3]; returns 4 stage taps."""
+    layers: Tuple[int, ...] = (3, 4, 6, 3)
+    channels: Tuple[int, ...] = (64, 128, 256, 512)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool):
+        B, T, H, W, C = x.shape
+        # 2D stem per frame: fold T into batch (transform_input equivalent).
+        h = x.reshape(B * T, H, W, C)
+        h = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
+                    name="conv1")(h)
+        h = BatchNorm(name="bn1")(h, train)
+        h = nn.relu(h)
+        h = nn.max_pool(h, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        h = h.reshape(B, T, h.shape[1], h.shape[2], h.shape[3])
+
+        taps = []
+        inplanes = 64
+        for stage, (planes, blocks) in enumerate(zip(self.channels, self.layers)):
+            stride = 1 if stage == 0 else 2
+            for b in range(blocks):
+                s = stride if b == 0 else 1
+                need_ds = b == 0 and (s != 1 or inplanes != planes * 4)
+                h = Bottleneck3D(planes=planes, stride=s, downsample=need_ds,
+                                 name=f"layer{stage+1}_{b}")(h, train)
+            inplanes = planes * 4
+            taps.append(h)
+        return tuple(taps)  # fm1 (256c), fm2 (512c), fm3 (1024c), fm4 (2048c)

@@ -1,0 +1,142 @@
+"""NTU RGB+D backbones and task nets.
+
+Rebuild of ``models/central/ntu.py`` (Visual :7-40, Skeleton=HCN :43-173) and
+``models/search/ntu_darts_searchable.py`` (Searchable_Skeleton_Image_Net
+:71-178, Found_Skeleton_Image_Net :181-273).
+
+Layouts: video clips are (B, T, H, W, 3); skeletons (B, T, V=25, M=2, 3).
+Fusion inputs (8): inflated-ResNet stages fm2/fm3/fm4 + temporal-pooled
+vector, then HCN hidden[-4:] (out5/out6/out7/out8) — C_ins
+[512, 1024, 2048, 2048, 128, 256, 1024, 512]
+(ntu_darts_searchable.py:104, :122-128).
+
+Search-phase optimizer quirk preserved: NTU's ``central_params()`` covers
+ONLY fusion_net + central_classifier — the reshape layers are excluded (in
+contrast to mmimdb/ego; ntu_darts_searchable.py:160-166) — hence
+NTU_SEARCH_FROZEN_PREFIXES includes the reshape layers.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from bmnas_tpu import genotype as G
+from bmnas_tpu.models.foundnet import FoundFusionNetwork, _freeze
+from bmnas_tpu.models.hcn import HCN
+from bmnas_tpu.models.inflated_resnet import InflatedResNet50
+from bmnas_tpu.models.supernet import FusionNetwork
+from bmnas_tpu.ops.layers import ReshapeInputLayer
+
+NTU_C_INS = (512, 1024, 2048, 2048, 128, 256, 1024, 512)
+
+# Search: only fusion_net + central_classifier are optimized
+# (ntu_darts_searchable.py:160-166).
+NTU_SEARCH_FROZEN_PREFIXES = ("rgbnet", "skenet") + tuple(
+    f"reshape_{i}" for i in range(len(NTU_C_INS)))
+# Found/eval: the whole net is optimized (main_darts_found_ntu.py:122-139).
+NTU_EVAL_FROZEN_PREFIXES = ()
+
+
+class Visual(nn.Module):
+    """Inflated ResNet-50 + temporal pooling + classifier
+    (central/ntu.py:7-40). Returns (fm1, fm2, fm3, fm4, pooled, logits)."""
+    num_outputs: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool):
+        fm1, fm2, fm3, fm4 = InflatedResNet50(name="cnn")(x, train)
+        # avgpool over (T=8, 7, 7) -> (B, 2048) (central/ntu.py:12,16-21)
+        pooled = jnp.mean(fm4, axis=(1, 2, 3))
+        logits = nn.Dense(self.num_outputs, name="classifier")(pooled)
+        return fm1, fm2, fm3, fm4, pooled, logits
+
+
+def _ntu_features(rgbnet_out, ske_out):
+    visual_features = list(rgbnet_out[-5:-1])   # fm2, fm3, fm4, pooled
+    skel_features = list(ske_out[0][-4:])       # out5, out6, out7, out8
+    return visual_features + skel_features
+
+
+class SearchableSkeletonImageNet(nn.Module):
+    """Supernet task model (ntu_darts_searchable.py:71-178)."""
+    C: int
+    L: int
+    steps: int
+    multiplier: int
+    node_steps: int
+    node_multiplier: int
+    num_input_nodes: int
+    num_keep_edges: int
+    num_outputs: int
+    drpt: float
+
+    @nn.compact
+    def __call__(self, batch, arch, train: bool):
+        image, skeleton = batch["image"], batch["skeleton"]
+        rgb_out = Visual(self.num_outputs, name="rgbnet")(image, train)
+        ske_out = HCN(self.num_outputs, self.drpt, name="skenet")(skeleton, train)
+        feats = _ntu_features(rgb_out, ske_out)
+        reshaped = [
+            ReshapeInputLayer(C=self.C, L=self.L, drpt=self.drpt,
+                              name=f"reshape_{i}")(f, train)
+            for i, f in enumerate(feats)
+        ]
+        out = FusionNetwork(
+            steps=self.steps, multiplier=self.multiplier,
+            num_input_nodes=self.num_input_nodes,
+            num_keep_edges=self.num_keep_edges,
+            node_steps=self.node_steps, node_multiplier=self.node_multiplier,
+            C=self.C, L=self.L, drpt=self.drpt, name="fusion_net",
+        )(reshaped, arch, train)
+        return nn.Dense(self.num_outputs, name="central_classifier")(out)
+
+
+class FoundSkeletonImageNet(nn.Module):
+    """Genotype-compiled task model (ntu_darts_searchable.py:181-273)."""
+    C: int
+    L: int
+    steps: int
+    multiplier: int
+    node_steps: int
+    node_multiplier: int
+    num_input_nodes: int
+    num_keep_edges: int
+    num_outputs: int
+    drpt: float
+    genotype: Tuple
+
+    @classmethod
+    def from_genotype(cls, genotype: G.Genotype, **kwargs):
+        return cls(genotype=_freeze(genotype), **kwargs)
+
+    def _referenced_inputs(self):
+        edges, _, _ = self.genotype
+        return tuple(sorted({idx for _, idx in edges}))
+
+    @nn.compact
+    def __call__(self, batch, arch, train: bool):
+        del arch
+        image, skeleton = batch["image"], batch["skeleton"]
+        rgb_out = Visual(self.num_outputs, name="rgbnet")(image, train)
+        ske_out = HCN(self.num_outputs, self.drpt, name="skenet")(skeleton, train)
+        feats = _ntu_features(rgb_out, ske_out)
+        used = self._referenced_inputs()
+        reshaped = []
+        for i, f in enumerate(feats):
+            if i in used:
+                reshaped.append(ReshapeInputLayer(
+                    C=self.C, L=self.L, drpt=self.drpt,
+                    name=f"reshape_{i}")(f, train))
+            else:
+                reshaped.append(nn.relu(jnp.zeros((f.shape[0], self.L, self.C))))
+        out = FoundFusionNetwork(
+            steps=self.steps, multiplier=self.multiplier,
+            num_input_nodes=self.num_input_nodes,
+            num_keep_edges=self.num_keep_edges,
+            node_steps=self.node_steps, node_multiplier=self.node_multiplier,
+            C=self.C, L=self.L, drpt=self.drpt,
+            genotype=self.genotype, name="fusion_net",
+        )(reshaped, train)
+        return nn.Dense(self.num_outputs, name="central_classifier")(out)

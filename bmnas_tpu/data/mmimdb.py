@@ -70,7 +70,7 @@ class MMIMDBDataset:
         """Yield host batches with a 'mask' validity vector."""
         order = np.arange(self.len_data)
         if shuffle:
-            np.random.RandomState(seed).shuffle(order)
+            np.random.RandomState(seed % (2**32)).shuffle(order)
         for start in range(0, self.len_data, batch_size):
             idxs = order[start:start + batch_size]
             samples = list(self._pool.map(self.load_sample, idxs))

@@ -1,0 +1,224 @@
+"""NTU RGB+D dataset: video + skeleton -> static-shape device batches.
+
+Rebuild of ``datasets/ntu.py``: subject-ID splits encoded in filename chars
+[9:12] (train 16 / train_val 20 / train_exp 8 / test 20 / dev 4 subjects,
+:179-188), label = chars [17:20] - 1 (:216,268), cv2 uniform frame sampling
+(:12-30), text skeleton parsing to (3, T, 25, 2) (:38-78), normalization
+(RGB /255 + ImageNet mean/std; skeleton centered on joint 2 of person 0,
+:274-289), temporal transforms AugCrop/NormalizeLen/CenterCrop (:89-162).
+
+Layout: batches carry rgb (B, 8, H, W, 3) and skeleton (B, 32, 25, 2, 3)
+channels-last plus a 'mask' validity vector (static shapes for XLA).
+Videos stored as ``*_rgb.npy`` arrays are also accepted (the reference has
+the same fallback, :32-35) — used by the synthetic test fixtures.
+"""
+from __future__ import annotations
+
+import os
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+SUBJECTS = {
+    "train": [1, 4, 8, 13, 15, 16, 17, 18, 19, 25, 27, 28, 31, 34, 35, 38],
+    "train_val": [1, 2, 4, 5, 8, 9, 13, 14, 15, 16, 17, 18, 19, 25, 27, 28,
+                  31, 34, 35, 38],
+    "train_exp": [1, 8, 15, 17, 19, 27, 31, 35],
+    "test": [3, 6, 7, 10, 11, 12, 20, 21, 22, 23, 24, 26, 29, 30, 32, 33, 36,
+             37, 39, 40],
+    "dev": [2, 5, 9, 14],
+}
+
+IMAGENET_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
+
+
+def load_video(path: str, vid_len: int = 24) -> np.ndarray:
+    """cv2 decode + uniform vid_len frame sample (datasets/ntu.py:12-30).
+    Returns (vid_len, H, W, 3) float32 (BGR, like the reference)."""
+    if path.endswith(".npy"):
+        return np.load(path).astype(np.float32)
+    import cv2
+    cap = cv2.VideoCapture(path)
+    num_frames = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    width = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+    height = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+    video = np.zeros((vid_len, height, width, 3), np.float32)
+    taken = np.linspace(0, num_frames, vid_len).astype(int)
+    np_idx = 0
+    for fr_idx in range(num_frames):
+        ret, frame = cap.read()
+        if cap.isOpened() and fr_idx in taken:
+            video[np_idx] = frame.astype(np.float32)
+            np_idx += 1
+        if np_idx == vid_len:
+            break
+    cap.release()
+    return video
+
+
+def get_3d_skeleton(path: str) -> np.ndarray:
+    """Parse the NTU text skeleton format -> (3, T, 25, 2)
+    (datasets/ntu.py:38-78)."""
+    with open(path) as f:
+        content = [c.strip() for c in f.readlines()]
+    num_frames = int(content[0])
+    xyz = np.zeros((3, num_frames, 25, 2), np.float32)
+    i = 1
+    for t in range(num_frames):
+        nb_person = int(content[i])
+        for p in range(nb_person):
+            i += 2
+            for j in range(25):
+                i += 1
+                vals = [float(c) for c in content[i].split(" ")]
+                if p < 2:
+                    xyz[:, t, j, p] = vals[:3]
+        i += 1
+    return np.nan_to_num(xyz)
+
+
+def _linear_interp_T(data: np.ndarray, out_len: int) -> np.ndarray:
+    """Bilinear re-interpolation along T with half-pixel centers
+    (align_corners=False), matching ``interpole`` (datasets/ntu.py:109-116).
+    data: (C, T, V, M) -> (C, out_len, V, M)."""
+    T = data.shape[1]
+    src = (np.arange(out_len) + 0.5) * T / out_len - 0.5
+    src = np.clip(src, 0, T - 1)
+    lo = np.floor(src).astype(int)
+    hi = np.minimum(lo + 1, T - 1)
+    w = (src - lo).astype(np.float32)
+    return (data[:, lo] * (1 - w)[None, :, None, None]
+            + data[:, hi] * w[None, :, None, None])
+
+
+def aug_crop(rgb: np.ndarray, ske: np.ndarray, rng: np.random.RandomState,
+             p_interval: float = 0.5) -> Tuple[np.ndarray, np.ndarray]:
+    """Random temporal crop (datasets/ntu.py:139-162)."""
+    ratio = 1.0 - p_interval * rng.rand()
+    if rgb.ndim > 1:
+        n = len(rgb)
+        begin = (n - int(n * ratio)) // 2
+        rgb = rgb[begin:n - begin]
+    if ske.ndim > 1:
+        valid = ske.shape[1]
+        p = float(rng.rand(1)[0]) * (1.0 - p_interval) + p_interval
+        cropped = int(np.minimum(np.maximum(int(np.floor(valid * p)), 64), valid))
+        bias = rng.randint(0, valid - cropped + 1)
+        ske = ske[:, bias:bias + cropped]
+    return rgb, ske
+
+
+def center_crop(rgb: np.ndarray, ske: np.ndarray,
+                p_interval: float = 0.9) -> Tuple[np.ndarray, np.ndarray]:
+    """datasets/ntu.py:118-137."""
+    if ske.ndim > 1:
+        valid = ske.shape[1]
+        bias = int((1 - p_interval) * valid / 2)
+        ske = ske[:, bias:valid - bias]
+    if rgb.ndim > 1:
+        n = len(rgb)
+        bias = int((1 - p_interval) * n / 2)
+        rgb = rgb[bias:n - bias]
+    return rgb, ske
+
+
+def normalize_len(rgb: np.ndarray, ske: np.ndarray,
+                  vid_len: Tuple[int, int] = (8, 32)):
+    """Uniform resample to (vid_len_rgb, vid_len_ske) (datasets/ntu.py:89-107)."""
+    if rgb.ndim > 1:
+        idx = np.linspace(0, len(rgb) - 1, vid_len[0]).astype(int)
+        rgb = rgb[idx]
+    if ske.ndim > 1:
+        ske = _linear_interp_T(ske, vid_len[1])
+    return rgb, ske
+
+
+def normalize_sample(rgb: np.ndarray, ske: np.ndarray):
+    """RGB /255 + ImageNet stats; skeleton centered on joint 2 of person 0
+    (datasets/ntu.py:274-289)."""
+    rgb = rgb / 255.0
+    rgb = (rgb - IMAGENET_MEAN.reshape(1, 1, 1, 3)) / IMAGENET_STD.reshape(1, 1, 1, 3)
+    origin = ske[:, :, 1, 0]
+    ske = ske - origin[:, :, None, None]
+    return rgb.astype(np.float32), ske.astype(np.float32)
+
+
+class NTUDataset:
+    """File-list dataset over the NTU directory layout
+    (``nturgb+d_rgb_256x256_30/*_rgb.{avi,npy}`` + ``nturgb+d_skeletons``)."""
+
+    def __init__(self, root_dir: str, stage: str, small_dataset: bool = False,
+                 vid_len: Tuple[int, int] = (8, 32), vid_dim: int = 256,
+                 vid_fr: int = 30, num_workers: int = 8,
+                 train_transform: bool = False):
+        subjects = SUBJECTS[stage]
+        basename_rgb = os.path.join(
+            root_dir, "nturgb+d_rgb_{0}x{0}_{1}".format(vid_dim, vid_fr))
+        basename_ske = os.path.join(root_dir, "nturgb+d_skeletons")
+        self.vid_len = vid_len
+        self.train_transform = train_transform
+
+        rgb_files = sorted(os.listdir(basename_rgb))
+        self.rgb_list = [os.path.join(basename_rgb, f) for f in rgb_files
+                         if (f.endswith("_rgb.avi") or f.endswith("_rgb.npy"))
+                         and int(f[9:12]) in subjects]
+        self.ske_list = [os.path.join(basename_ske, f)
+                         for f in sorted(os.listdir(basename_ske))
+                         if f.split(".")[-1] == "skeleton"
+                         and int(f[9:12]) in subjects]
+        self.labels = [int(f[17:20]) for f in rgb_files
+                       if (f.endswith("_rgb.avi") or f.endswith("_rgb.npy"))
+                       and int(f[9:12]) in subjects]
+        if small_dataset:
+            self.rgb_list = self.rgb_list[:64]
+            self.ske_list = self.ske_list[:64]
+            self.labels = self.labels[:64]
+        self._pool = ThreadPoolExecutor(max_workers=max(1, num_workers))
+
+    def __len__(self):
+        return len(self.labels)
+
+    def load_sample(self, idx: int, seed: int) -> Dict[str, np.ndarray]:
+        rng = np.random.RandomState(seed % (2**32))
+        rgb = load_video(self.rgb_list[idx])
+        ske = get_3d_skeleton(self.ske_list[idx])
+        rgb, ske = normalize_sample(rgb, ske)
+        if self.train_transform:
+            rgb, ske = aug_crop(rgb, ske, rng)
+        rgb, ske = normalize_len(rgb, ske, self.vid_len)
+        # channels-last skeleton: (3, T, V, M) -> (T, V, M, 3)
+        ske = np.transpose(ske, (1, 2, 3, 0))
+        return {"image": rgb, "skeleton": ske,
+                "label": np.int32(self.labels[idx] - 1)}
+
+    def batches(self, batch_size: int, shuffle: bool, seed: int = 0,
+                pad_to_full: bool = True) -> Iterator[Dict[str, np.ndarray]]:
+        seed = seed % (2**32)
+        order = np.arange(len(self))
+        rs = np.random.RandomState(seed)
+        if shuffle:
+            rs.shuffle(order)
+        for start in range(0, len(self), batch_size):
+            idxs = order[start:start + batch_size]
+            seeds = [int(seed * 7919 + i) for i in idxs]
+            samples = list(self._pool.map(self.load_sample, idxs, seeds))
+            n = len(samples)
+            b = batch_size if pad_to_full else n
+            out = {
+                "image": np.zeros((b,) + samples[0]["image"].shape, np.float32),
+                "skeleton": np.zeros((b,) + samples[0]["skeleton"].shape,
+                                     np.float32),
+                "label": np.zeros((b,), np.int32),
+                "mask": np.zeros((b,), np.float32),
+            }
+            for i, s in enumerate(samples):
+                out["image"][i] = s["image"]
+                out["skeleton"][i] = s["skeleton"]
+                out["label"][i] = s["label"]
+                out["mask"][i] = 1.0
+            yield out
+
+    def num_batches(self, batch_size: int) -> int:
+        return -(-len(self) // batch_size)

@@ -28,3 +28,40 @@ def make_mmimdb_synthetic(root: str, n_per_stage: int = 8,
             np.save(os.path.join(d, f"text_{i:06}.npy"), txt)
             np.save(os.path.join(d, f"label_{i:06}.npy"), lab)
     return root
+
+
+def _write_skeleton_file(path: str, num_frames: int, rng) -> None:
+    """Minimal NTU .skeleton text format (datasets/ntu.py:38-78 parser)."""
+    lines = [str(num_frames)]
+    for _ in range(num_frames):
+        lines.append("2")                      # persons
+        for _p in range(2):
+            lines.append("0 0 0 0 0 0 0 0 0 2")  # body info line
+            lines.append("25")                    # joint count line
+            for _j in range(25):
+                xyz = rng.randn(3) * 0.1
+                lines.append(" ".join(f"{v:.4f}" for v in xyz) + " 0 0 0 0 0 0 0 2")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def make_ntu_synthetic(root: str, n_videos_per_subject: int = 1,
+                       subjects=(1, 2, 3, 8, 5, 6), num_actions: int = 6,
+                       hw: int = 32, frames: int = 70, seed: int = 0) -> str:
+    """Tiny NTU-layout dataset: ``*_rgb.npy`` clips + .skeleton text files,
+    filenames following S###C###P###R###A### so the subject/label slicing
+    (datasets/ntu.py:212-217) applies."""
+    rng = np.random.RandomState(seed)
+    rgb_dir = os.path.join(root, "nturgb+d_rgb_256x256_30")
+    ske_dir = os.path.join(root, "nturgb+d_skeletons")
+    os.makedirs(rgb_dir, exist_ok=True)
+    os.makedirs(ske_dir, exist_ok=True)
+    for subj in subjects:
+        for r in range(n_videos_per_subject):
+            action = rng.randint(1, num_actions + 1)
+            name = f"S001C001P{subj:03d}R{r+1:03d}A{action:03d}"
+            clip = (rng.rand(frames, hw, hw, 3) * 255).astype(np.float32)
+            np.save(os.path.join(rgb_dir, name + "_rgb.npy"), clip)
+            _write_skeleton_file(os.path.join(ske_dir, name + ".skeleton"),
+                                 frames, rng)
+    return root

@@ -1,0 +1,271 @@
+"""PyTorch checkpoint -> flax params converters.
+
+Covers the reference's pretrained-weight inputs (SURVEY.md §5.4):
+  * torchvision VGG-19 (MM-IMDB image backbone, central/mmimdb.py:15)
+  * NTU skeleton HCN checkpoint (``skeleton_32frames_85.24.checkpoint``)
+  * NTU Visual inflated-ResNet-50 checkpoint (``rgb_8frames_83.91.checkpoint``)
+  * torchvision ResNet-50 2D->3D center inflation
+    (imagenet_pretraining.py:6-23) for building Visual from ImageNet weights
+  * EgoGesture ResNeXt-101 RGB/Depth checkpoints (``egogesture_resnext_*.pth``)
+
+Layout rules (torch -> flax):
+  Conv2d  (O, I, H, W)      -> (H, W, I, O)
+  Conv3d  (O, I, D, H, W)   -> (D, H, W, I, O)
+  Linear  (O, I)            -> (I, O)
+  BatchNorm weight/bias     -> params scale/bias;
+  running_mean/var          -> batch_stats mean/var
+
+Flatten-order fixups: wherever the torch model flattens a (N, C, H, W) map
+channel-major into a Linear (HCN fc7), the kernel rows are permuted to match
+our channels-last flatten.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import numpy as np
+
+
+def _np(t) -> np.ndarray:
+    try:
+        return t.detach().cpu().numpy()
+    except AttributeError:
+        return np.asarray(t)
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    import torch
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    # strip DataParallel 'module.' prefixes
+    return {k[7:] if k.startswith("module.") else k: _np(v)
+            for k, v in sd.items()}
+
+
+def conv2d_kernel(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def conv3d_kernel(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (2, 3, 4, 1, 0))
+
+
+def linear_kernel(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (1, 0))
+
+
+def bn_params(sd: Dict[str, np.ndarray], prefix: str):
+    p = {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
+    s = {"mean": sd[f"{prefix}.running_mean"], "var": sd[f"{prefix}.running_var"]}
+    return p, s
+
+
+def inflate_2d_to_3d(w2d: np.ndarray, time_dim: int,
+                     inflation: str = "center") -> np.ndarray:
+    """2D conv kernel (O, I, H, W) -> 3D (O, I, T, H, W).
+
+    'center': zeros except the middle temporal slice (exactly preserves the
+    2D response on temporally-constant input; imagenet_pretraining.py:6-23).
+    'mean': repeat / time_dim.
+    """
+    O, I, H, W = w2d.shape
+    w3d = np.zeros((O, I, time_dim, H, W), w2d.dtype)
+    if inflation == "center":
+        w3d[:, :, time_dim // 2] = w2d
+    elif inflation == "mean":
+        w3d[:] = w2d[:, :, None] / time_dim
+    else:
+        raise ValueError(inflation)
+    return w3d
+
+
+def _set(tree: Dict, path: str, value: np.ndarray):
+    parts = path.split("/")
+    node = tree
+    for p in parts[:-1]:
+        node = node[p]
+    leaf = node[parts[-1]]
+    assert tuple(leaf.shape) == tuple(value.shape), (
+        f"{path}: shape {tuple(value.shape)} != expected {tuple(leaf.shape)}")
+    node[parts[-1]] = value.astype(np.asarray(leaf).dtype)
+
+
+def _to_mutable(tree):
+    import jax
+    return jax.tree_util.tree_map(np.asarray, dict(tree))
+
+
+# ---------------------------------------------------------------------------
+# VGG-19 (GPVGG)
+# ---------------------------------------------------------------------------
+
+def convert_vgg19(sd: Dict[str, np.ndarray], gpvgg_params: Dict,
+                  gpvgg_stats: Dict = None) -> Dict:
+    """torchvision vgg19 ``features.{i}.weight/bias`` -> GPVGG conv_{j}.
+
+    Accepts either a bare torchvision vgg19 state dict or a GP_VGG module
+    state dict (keys ``vgg.{i}.*``, central/mmimdb.py:15-24).
+    """
+    params = _to_mutable(gpvgg_params)
+    prefix = "features" if any(k.startswith("features") for k in sd) else "vgg"
+    conv_idx = [i for i in range(37)
+                if f"{prefix}.{i}.weight" in sd and sd[f"{prefix}.{i}.weight"].ndim == 4]
+    for j, i in enumerate(conv_idx):
+        _set(params, f"conv_{j}/kernel", conv2d_kernel(sd[f"{prefix}.{i}.weight"]))
+        _set(params, f"conv_{j}/bias", sd[f"{prefix}.{i}.bias"])
+    return params
+
+
+# ---------------------------------------------------------------------------
+# HCN skeleton checkpoint
+# ---------------------------------------------------------------------------
+
+def convert_hcn(sd: Dict[str, np.ndarray], hcn_params: Dict) -> Dict:
+    """NTU Skeleton state dict -> HCN flax params.
+
+    torch names (central/ntu.py:56-115): conv1.0, conv2, conv3.0, conv4.0,
+    conv{1m,2m,3m,4m}(.0), conv5.0, conv6.0, fc7.0, fc8.
+    """
+    params = _to_mutable(hcn_params)
+
+    def conv(torch_name, flax_name):
+        _set(params, f"{flax_name}/kernel", conv2d_kernel(sd[f"{torch_name}.weight"]))
+        _set(params, f"{flax_name}/bias", sd[f"{torch_name}.bias"])
+
+    conv("conv1.0", "conv1")
+    conv("conv2", "conv2")
+    conv("conv3.0", "conv3")
+    conv("conv4.0", "conv4")
+    conv("conv1m.0", "conv1m")
+    conv("conv2m", "conv2m")
+    conv("conv3m.0", "conv3m")
+    conv("conv4m.0", "conv4m")
+    conv("conv5.0", "conv5")
+    conv("conv6.0", "conv6")
+
+    # fc7: torch flattens (N, C=256, H=2, W=2) channel-major; ours flattens
+    # (N, 2, 2, 256) L-major -> permute kernel rows.
+    w7 = sd["fc7.0.weight"]           # (512, 1024)
+    C, H, W = 256, 2, 2
+    perm = np.zeros(C * H * W, np.int64)
+    for h in range(H):
+        for w in range(W):
+            for c in range(C):
+                ours = h * W * C + w * C + c
+                torch_i = c * H * W + h * W + w
+                perm[ours] = torch_i
+    _set(params, "fc7/kernel", linear_kernel(w7[:, perm]))
+    _set(params, "fc7/bias", sd["fc7.0.bias"])
+    _set(params, "fc8/kernel", linear_kernel(sd["fc8.weight"]))
+    _set(params, "fc8/bias", sd["fc8.bias"])
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Inflated ResNet-50 (NTU Visual)
+# ---------------------------------------------------------------------------
+
+def convert_visual(sd: Dict[str, np.ndarray], visual_params: Dict,
+                   visual_stats: Dict) -> tuple:
+    """NTU Visual checkpoint (keys 'cnn.*', 'classifier.*') -> flax
+    (params, batch_stats) for models/ntu.py Visual."""
+    params = _to_mutable(visual_params)
+    stats = _to_mutable(visual_stats)
+
+    def bn(torch_name, flax_name):
+        p, s = bn_params(sd, torch_name)
+        _set(params, f"{flax_name}/BatchNorm_0/scale", p["scale"])
+        _set(params, f"{flax_name}/BatchNorm_0/bias", p["bias"])
+        _set(stats, f"{flax_name}/BatchNorm_0/mean", s["mean"])
+        _set(stats, f"{flax_name}/BatchNorm_0/var", s["var"])
+
+    # stem (2D)
+    _set(params, "cnn/conv1/kernel", conv2d_kernel(sd["cnn.conv1.weight"]))
+    bn("cnn.bn1", "cnn/bn1")
+
+    layers = [3, 4, 6, 3]
+    for stage, blocks in enumerate(layers, start=1):
+        for b in range(blocks):
+            t = f"cnn.layer{stage}.{b}"
+            f = f"cnn/layer{stage}_{b}"
+            for ci in (1, 2, 3):
+                _set(params, f"{f}/conv{ci}/kernel",
+                     conv3d_kernel(sd[f"{t}.conv{ci}.weight"]))
+                bn(f"{t}.bn{ci}", f"{f}/bn{ci}")
+            if f"{t}.downsample.0.weight" in sd:
+                _set(params, f"{f}/downsample_conv/kernel",
+                     conv3d_kernel(sd[f"{t}.downsample.0.weight"]))
+                bn(f"{t}.downsample.1", f"{f}/downsample_bn")
+
+    _set(params, "classifier/kernel", linear_kernel(sd["classifier.weight"]))
+    _set(params, "classifier/bias", sd["classifier.bias"])
+    return params, stats
+
+
+def convert_resnext(sd: Dict[str, np.ndarray], params: Dict, stats: Dict,
+                    layers=(3, 4, 23, 3)) -> tuple:
+    """Ego ResNeXt-101 checkpoint -> flax (params, batch_stats) for
+    models/resnext.py ResNeXt3D (keys conv1/bn1/layer{1..4}.{b}/fc)."""
+    params = _to_mutable(params)
+    stats = _to_mutable(stats)
+
+    def bn(torch_name, flax_name):
+        p, s = bn_params(sd, torch_name)
+        _set(params, f"{flax_name}/BatchNorm_0/scale", p["scale"])
+        _set(params, f"{flax_name}/BatchNorm_0/bias", p["bias"])
+        _set(stats, f"{flax_name}/BatchNorm_0/mean", s["mean"])
+        _set(stats, f"{flax_name}/BatchNorm_0/var", s["var"])
+
+    _set(params, "conv1/kernel", conv3d_kernel(sd["conv1.weight"]))
+    bn("bn1", "bn1")
+    for stage, blocks in enumerate(layers, start=1):
+        for b in range(blocks):
+            t = f"layer{stage}.{b}"
+            f = f"layer{stage}_{b}"
+            for ci in (1, 2, 3):
+                _set(params, f"{f}/conv{ci}/kernel",
+                     conv3d_kernel(sd[f"{t}.conv{ci}.weight"]))
+                bn(f"{t}.bn{ci}", f"{f}/bn{ci}")
+            if f"{t}.downsample.0.weight" in sd:
+                _set(params, f"{f}/downsample_conv/kernel",
+                     conv3d_kernel(sd[f"{t}.downsample.0.weight"]))
+                bn(f"{t}.downsample.1", f"{f}/downsample_bn")
+    _set(params, "fc/kernel", linear_kernel(sd["fc.weight"]))
+    _set(params, "fc/bias", sd["fc.bias"])
+    return params, stats
+
+
+# ---------------------------------------------------------------------------
+# Task-level loaders
+# ---------------------------------------------------------------------------
+
+def load_ntu_backbones(task_params: Any, ske_path: str, rgb_path: str) -> Any:
+    """Load both NTU backbone checkpoints into a task-net params pytree
+    (prefixes 'skenet' and 'rgbnet'; batch_stats of the visual net are left
+    at init — the reference loads the state_dict including running stats,
+    callers wanting stats parity should use convert_visual directly)."""
+    params = dict(task_params)
+    ske_sd = load_torch_state_dict(ske_path)
+    params["skenet"] = convert_hcn(ske_sd, params["skenet"])
+    rgb_sd = load_torch_state_dict(rgb_path)
+    visual_params, _ = convert_visual(
+        rgb_sd, params["rgbnet"],
+        _fake_stats_template(params["rgbnet"]))
+    params["rgbnet"] = visual_params
+    return params
+
+
+def _fake_stats_template(params_tree):
+    """Build a BN-stats-shaped template from a params tree (scale leaves
+    define the per-layer channel counts)."""
+    out = {}
+    for k, v in params_tree.items():
+        if isinstance(v, dict):
+            if "BatchNorm_0" in v and "scale" in v["BatchNorm_0"]:
+                scale = np.asarray(v["BatchNorm_0"]["scale"])
+                out[k] = {"BatchNorm_0": {"mean": np.zeros_like(scale),
+                                          "var": np.ones_like(scale)}}
+            else:
+                out[k] = _fake_stats_template(v)
+    return out

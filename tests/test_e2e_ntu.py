@@ -1,0 +1,44 @@
+"""NTU CLI round trip on synthetic data (tiny shapes, CPU backend)."""
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from bmnas_tpu.data.synthetic import make_ntu_synthetic
+
+TINY = ["--small_dataset", "--batchsize", "2", "--epochs", "1",
+        "--C", "8", "--L", "4", "--num_outputs", "6",
+        "--num_workers", "2", "--seed", "3"]
+
+
+@pytest.fixture(scope="module")
+def data_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("ntu_synth")
+    # subjects chosen to hit train_exp (1, 8), dev (2, 5), test (3, 6)
+    return make_ntu_synthetic(str(root), n_videos_per_subject=2,
+                              subjects=(1, 8, 2, 5, 3, 6), num_actions=6,
+                              hw=32, frames=70)
+
+
+def test_search_found_round_trip(data_root, tmp_path):
+    from bmnas_tpu.cli.ntu import main_found, main_search
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        best_acc, best_genotype = main_search(
+            ["--datadir", data_root, "--checkpointdir", str(tmp_path)] + TINY)
+        assert np.isfinite(best_acc)
+        assert best_genotype is not None
+        assert len(best_genotype.edges) == 4
+        assert len(best_genotype.steps[0].inner_steps) == 2  # node_steps=2
+
+        exps = glob.glob("final_exp/ntu/search-*")
+        assert len(exps) == 1
+        acc = main_found(
+            ["--datadir", data_root, "--checkpointdir", str(tmp_path),
+             "--search_exp_dir", exps[0], "--steps", "2"] + TINY)
+        assert np.isfinite(acc)
+        assert glob.glob(os.path.join(exps[0], "eval-*"))
+    finally:
+        os.chdir(cwd)

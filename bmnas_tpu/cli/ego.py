@@ -1,0 +1,332 @@
+"""EgoGesture entry points: bilevel search and found-net retraining/test.
+
+Rebuild of ``main_darts_searchable_ego.py`` / ``main_darts_found_ego.py`` and
+``models/search/ego_darts_searchable.py:20-70``. Search splits:
+training / validation / testing (models/darts_searchable.py:70-90); found:
+train_dev (training+validation) / testing (main_darts_found_ego.py:88-91).
+Backbones are frozen in both phases (permanent eval(), params excluded /
+requires_grad=False — ego_darts_searchable.py:122-128,165-170,194-198).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bmnas_tpu.cli.common import model_kwargs_from_args
+from bmnas_tpu.data.ego import EgoDataset
+from bmnas_tpu.data.prefetch import device_prefetch
+from bmnas_tpu.genotype import load_genotype
+from bmnas_tpu.models.ego import (
+    EGO_FROZEN_PREFIXES,
+    FoundRGBDepthNet,
+    SearchableRGBDepthNet,
+)
+from bmnas_tpu.models.supernet import derive_genotype_from_arch, init_arch_params
+from bmnas_tpu.parallel.mesh import make_parallel_context, pad_batch_to_multiple
+from bmnas_tpu.search import loop as train_loop
+from bmnas_tpu.search.bilevel import (
+    TrainState,
+    build_step_functions,
+    cross_entropy,
+    make_arch_optimizer,
+    make_param_labels,
+    make_weight_optimizer,
+)
+from bmnas_tpu.search.scheduler import LRCosineAnnealingScheduler
+from bmnas_tpu.utils import checkpoint as ckpt
+from bmnas_tpu.utils.experiment import create_exp_dir, setup_logger
+from bmnas_tpu.utils.metrics import accuracy_counts
+from bmnas_tpu.visualize import Plotter
+
+
+def _add_ego_flags(parser, *, search: bool):
+    parser.add_argument('--seed', type=int, default=2)
+    parser.add_argument('--save', type=str, default='EXP')
+    parser.add_argument('--checkpointdir', type=str, default='checkpoints/ego')
+    parser.add_argument('--annotation', type=str,
+                        default='egogestureall_but_None.json')
+    parser.add_argument('--rgb_cp', type=str,
+                        default='egogesture_resnext_1.0x_RGB_32_acc_94.01245.pth')
+    parser.add_argument('--depth_cp', type=str,
+                        default='egogesture_resnext_1.0x_Depth_32_acc_93.61060.pth')
+    parser.add_argument('--datadir', type=str, default='EgoGesture')
+    parser.add_argument('--small_dataset', action='store_true', default=False)
+    parser.add_argument('--parallel', action='store_true', dest='parallel',
+                        default=False)
+    parser.add_argument('--use_dataparallel', dest='parallel',
+                        action='store_true')
+    parser.add_argument('--j', dest='num_workers', type=int, default=32)
+    parser.add_argument('--num_workers', dest='num_workers', type=int)
+    parser.add_argument('--batchsize', type=int, default=96)
+    parser.add_argument('--epochs', type=int, default=30)
+    parser.add_argument('--drpt', action='store', default=0.0, type=float)
+    parser.add_argument('--num_input_nodes', type=int, default=8)
+    parser.add_argument('--num_keep_edges', type=int, default=2)
+    parser.add_argument('--C', type=int, default=128)
+    parser.add_argument('--L', type=int, default=8)
+    parser.add_argument('--multiplier', type=int, default=2)
+    parser.add_argument('--steps', type=int, default=2)
+    parser.add_argument('--node_multiplier', type=int, default=3)
+    parser.add_argument('--node_steps', type=int, default=3)
+    parser.add_argument('--num_outputs', type=int, default=83)
+    parser.add_argument('--arch_learning_rate', type=float, default=3e-4)
+    parser.add_argument('--arch_weight_decay', type=float, default=1e-3)
+    parser.add_argument('--weight_decay', type=float, default=1e-4)
+    parser.add_argument('--eta_max', type=float, default=0.003)
+    parser.add_argument('--eta_min', type=float, default=1e-6)
+    parser.add_argument('--Ti', type=int, default=5)
+    parser.add_argument('--Tm', type=int, default=2)
+    parser.add_argument('--sample_size', type=int, default=112)
+    parser.add_argument('--sample_duration', type=int, default=32)
+    parser.add_argument('--downsample', type=int, default=1)
+    parser.add_argument('--resume', type=str, default=None)
+    if not search:
+        parser.add_argument('--search_exp_dir', type=str, default=None)
+        parser.add_argument('--eval_exp_dir', type=str, default=None)
+
+
+def parse_search_args(argv=None):
+    parser = argparse.ArgumentParser(description='Modality optimization.')
+    _add_ego_flags(parser, search=True)
+    return parser.parse_args(argv)
+
+
+def parse_found_args(argv=None):
+    parser = argparse.ArgumentParser(description='Modality optimization.')
+    _add_ego_flags(parser, search=False)
+    return parser.parse_args(argv)
+
+
+def counts_fn(logits, labels, mask):
+    return accuracy_counts(logits, labels, mask)
+
+
+def _setup_data(args, parallel_ctx, stages):
+    batchsize = args.batchsize
+    if parallel_ctx is not None:
+        batchsize = pad_batch_to_multiple(batchsize, parallel_ctx.num_devices)
+    annotation = os.path.join(args.checkpointdir, args.annotation)
+    datasets = {
+        phase: EgoDataset(args.datadir, annotation, subset,
+                          small_dataset=args.small_dataset,
+                          sample_size=args.sample_size,
+                          sample_duration=args.sample_duration,
+                          downsample=args.downsample,
+                          train_transform=(phase == "train"),
+                          num_workers=args.num_workers)
+        for phase, subset in stages.items()
+    }
+    dataset_sizes = {p: len(d) for p, d in datasets.items()}
+    sharding = parallel_ctx.batch_sharding if parallel_ctx else None
+
+    def loader(phase, shuffle):
+        def make(epoch):
+            it = datasets[phase].batches(
+                batchsize, shuffle=shuffle,
+                seed=(args.seed * 1000003 + epoch * 131 + hash(phase) % 97))
+            return device_prefetch(it, size=2, sharding=sharding)
+        return make
+
+    loaders = {p: loader(p, shuffle=(p == "train")) for p in stages}
+    return datasets, dataset_sizes, loaders, batchsize
+
+
+def _maybe_load_backbones(state, args, logger):
+    from bmnas_tpu.utils.torch_convert import convert_resnext, load_torch_state_dict
+    rgb_path = os.path.join(args.checkpointdir, args.rgb_cp)
+    depth_path = os.path.join(args.checkpointdir, args.depth_cp)
+    if not (os.path.exists(rgb_path) and os.path.exists(depth_path)):
+        logger.info("Backbone checkpoints not found under %s - random init",
+                    args.checkpointdir)
+        return state
+    params = dict(state.params)
+    stats = dict(state.batch_stats)
+    for name, path in (("rgb_net", rgb_path), ("depth_net", depth_path)):
+        sd = load_torch_state_dict(path)
+        p, s = convert_resnext(sd, params[name], stats[name])
+        params[name] = p
+        stats[name] = s
+        logger.info("Loading %s checkpoint: %s", name, path)
+    return state.replace(params=params, batch_stats=stats)
+
+
+def _init_state(model, arch, batch, args, frozen_prefixes):
+    rng = jax.random.PRNGKey(args.seed)
+    k_init, k_drop, k_state = jax.random.split(rng, 3)
+    variables = model.init({"params": k_init, "dropout": k_drop},
+                           batch, arch, True)
+    labels = make_param_labels(variables["params"], frozen_prefixes)
+    w_tx = make_weight_optimizer(labels, weight_decay=args.weight_decay)
+    arch_tx = (make_arch_optimizer(args.arch_learning_rate,
+                                   args.arch_weight_decay)
+               if arch is not None else None)
+    state = TrainState(
+        params=variables["params"], batch_stats=variables["batch_stats"],
+        arch=arch, opt_w=w_tx.init(variables["params"]),
+        opt_arch=arch_tx.init(arch) if arch_tx is not None else None,
+        rng=k_state, step=jnp.asarray(0, jnp.int32))
+    return state, w_tx, arch_tx
+
+
+def _make_apply(model):
+    def apply_fn(variables, batch, arch, train, rngs, mutable):
+        if mutable:
+            return model.apply(variables, batch, arch, train,
+                               rngs=rngs, mutable=mutable)
+        return model.apply(variables, batch, arch, train)
+    return apply_fn
+
+
+def run_search(args, logger):
+    parallel_ctx = (make_parallel_context()
+                    if args.parallel and len(jax.devices()) > 1 else None)
+    stages = {"train": "training", "dev": "validation", "test": "testing"}
+    datasets, dataset_sizes, loaders, batchsize = _setup_data(
+        args, parallel_ctx, stages)
+    nbpe = dataset_sizes["train"] / args.batchsize
+
+    model = SearchableRGBDepthNet(**model_kwargs_from_args(args))
+    arch = init_arch_params(jax.random.PRNGKey(args.seed + 1), args.steps,
+                            args.num_input_nodes, args.node_steps)
+    batch = next(iter(datasets["train"].batches(batchsize, shuffle=False)))
+    state, w_tx, arch_tx = _init_state(model, arch, batch, args,
+                                       EGO_FROZEN_PREFIXES)
+    state = _maybe_load_backbones(state, args, logger)
+    if parallel_ctx is not None:
+        state = parallel_ctx.replicate(state)
+    fns = build_step_functions(_make_apply(model), cross_entropy, counts_fn,
+                               w_tx, arch_tx)
+    scheduler = LRCosineAnnealingScheduler(args.eta_max, args.eta_min,
+                                           args.Ti, args.Tm, nbpe)
+
+    def genotype_fn(st):
+        return derive_genotype_from_arch(
+            st.arch, args.steps, args.multiplier, args.num_input_nodes,
+            args.node_steps, args.node_multiplier)
+
+    if args.resume:
+        state, extra = ckpt.restore_state(args.resume, state)
+        scheduler.load_state(extra["scheduler"])
+        logger.info("Resumed from %s at epoch %s", args.resume, extra["epoch"])
+
+    best_acc, best_genotype, state = train_loop.run_training(
+        task="ego", status="search", fns=fns, state=state,
+        scheduler=scheduler, loaders=loaders, dataset_sizes=dataset_sizes,
+        num_epochs=args.epochs, metric="acc", f1_type="weighted",
+        args=args, logger=logger, plotter=Plotter(args),
+        genotype_fn=genotype_fn)
+    return best_acc, best_genotype
+
+
+def run_found(args, logger, genotype, test_model_path=None):
+    parallel_ctx = (make_parallel_context()
+                    if args.parallel and len(jax.devices()) > 1 else None)
+    stages = {"train": "train_dev", "test": "testing"}
+    datasets, dataset_sizes, loaders, batchsize = _setup_data(
+        args, parallel_ctx, stages)
+    nbpe = dataset_sizes["train"] / args.batchsize
+
+    model = FoundRGBDepthNet.from_genotype(genotype,
+                                           **model_kwargs_from_args(args))
+    batch = next(iter(datasets["train"].batches(batchsize, shuffle=False)))
+    # found ego keeps backbones frozen (requires_grad=False,
+    # ego_darts_searchable.py:194-198)
+    state, w_tx, _ = _init_state(model, None, batch, args,
+                                 EGO_FROZEN_PREFIXES)
+    state = _maybe_load_backbones(state, args, logger)
+    if parallel_ctx is not None:
+        state = parallel_ctx.replicate(state)
+    fns = build_step_functions(_make_apply(model), cross_entropy, counts_fn,
+                               w_tx, None)
+    scheduler = LRCosineAnnealingScheduler(args.eta_max, args.eta_min,
+                                           args.Ti, args.Tm, nbpe)
+
+    if test_model_path is not None:
+        snap = ckpt.load_model(test_model_path)
+        state = state.replace(params=snap["params"],
+                              batch_stats=snap["batch_stats"])
+        counts_total = None
+        for b in loaders["test"](0):
+            c = fns.eval_step(state, b)
+            counts_total = c if counts_total is None else \
+                jax.tree_util.tree_map(lambda a, x: a + x, counts_total, c)
+        acc = float(np.asarray(counts_total["correct"])) / dataset_sizes["test"]
+        loss = float(np.asarray(counts_total["loss_sum"])) / dataset_sizes["test"]
+        logger.info(str(genotype))
+        logger.info('test Loss: {:.4f} Acc: {:.4f}'.format(loss, acc))
+        return acc
+
+    if args.resume:
+        state, extra = ckpt.restore_state(args.resume, state)
+        scheduler.load_state(extra["scheduler"])
+        logger.info("Resumed from %s at epoch %s", args.resume, extra["epoch"])
+
+    best_acc, _, state = train_loop.run_training(
+        task="ego", status="eval", fns=fns, state=state,
+        scheduler=scheduler, loaders=loaders, dataset_sizes=dataset_sizes,
+        num_epochs=args.epochs, metric="acc", f1_type="weighted",
+        args=args, logger=logger, plotter=Plotter(args),
+        genotype_fn=lambda st: genotype)
+    return best_acc
+
+
+def main_search(argv=None):
+    args = parse_search_args(argv)
+    np.random.seed(args.seed)
+    args.save = 'search-{}-{}'.format(args.save, time.strftime("%Y%m%d-%H%M%S"))
+    args.save = os.path.join('final_exp/ego', args.save)
+    create_exp_dir(args.save)
+    logger = setup_logger(args.save)
+    logger.info("args = %s", args)
+    logger.info("BM-NAS for EgoGesture Started.")
+    start_time = time.time()
+    best_acc, best_genotype = run_search(args, logger)
+    time_elapsed = time.time() - start_time
+    logger.info("*" * 50)
+    logger.info('Searching complete in {:.0f}m {:.0f}s'.format(
+        time_elapsed // 60, time_elapsed % 60))
+    logger.info('Now listing best fusion_net genotype:')
+    logger.info(best_genotype)
+    return best_acc, best_genotype
+
+
+def main_found(argv=None):
+    args = parse_found_args(argv)
+    test_only = False
+    test_model_path = None
+    if args.eval_exp_dir is not None:
+        test_only = True
+        args.save = 'test-{}-{}'.format(args.save, time.strftime("%Y%m%d-%H%M%S"))
+        args.save = os.path.join(args.eval_exp_dir, args.save)
+        test_model_path = os.path.join(args.eval_exp_dir, 'best',
+                                       'best_test_model.pt')
+        best_genotype_path = os.path.join(args.eval_exp_dir, 'best',
+                                          'best_test_genotype.pkl')
+    elif args.search_exp_dir is not None:
+        best_genotype_path = os.path.join(args.search_exp_dir, 'best',
+                                          'best_genotype.pkl')
+        args.save = 'eval-{}-{}'.format(args.save, time.strftime("%Y%m%d-%H%M%S"))
+        args.save = os.path.join(args.search_exp_dir, args.save)
+    else:
+        raise SystemExit("one of --search_exp_dir / --eval_exp_dir is required")
+
+    np.random.seed(args.seed)
+    create_exp_dir(args.save)
+    logger = setup_logger(args.save)
+    logger.info("args = %s", args)
+
+    genotype = load_genotype(best_genotype_path)
+    start_time = time.time()
+    acc = run_found(args, logger, genotype,
+                    test_model_path if test_only else None)
+    time_elapsed = time.time() - start_time
+    logger.info("*" * 50)
+    logger.info('Total duration {:.0f}m {:.0f}s'.format(
+        time_elapsed // 60, time_elapsed % 60))
+    logger.info('Final model Acc: {}'.format(acc))
+    return acc

@@ -1,0 +1,242 @@
+"""EgoGesture dataset: JPEG frame sequences -> static-shape device batches.
+
+Rebuild of ``datasets/ego.py`` + the NV transform stacks:
+  * JSON annotation -> sample list (``database[key] = {subset,
+    annotations{label, start_frame, end_frame}}``, ego.py:90-176);
+  * subsets: training / validation / train_dev (=both) / testing
+    (:209-211, 263-328);
+  * RGB-D loading: per-frame RGB jpg + depth jpg via directory surgery
+    (``<...>/Depth/depth<N>/``, :61-83);
+  * train pipeline: TemporalRandomCrop(32, downsample=1) +
+    MultiScaleRandomCrop(scales, 112) + mean-subtract (:330-374,
+    nv_temporal_transforms.py:96-134, nv_spatial_transforms.py:342-369);
+  * dev/test: TemporalCenterCrop + Scale + CenterCrop (:376-423);
+  * spatial random draws happen ONCE per clip (randomize_parameters
+    protocol, :244).
+
+opt defaults (models/utils.py:125-217): sample_size=112, sample_duration=32,
+downsample=1, scales [1.0, 0.841, 0.707, 0.595, 0.5],
+mean [114.7748, 107.7354, 99.475], norm_value=1 (inputs stay 0-255).
+Quirk preserved: Normalize zips 3 means against the 4-channel RGB-D tensor,
+so the depth channel is never mean-subtracted.
+
+Output layout: rgb (B, T, S, S, 3) and depth (B, T, S, S, 1) channels-last
+(the reference interleaves into one (4, T, S, S) tensor and the train loop
+re-splits it, train_searchable/ego.py:63-64 — we split at the data layer).
+"""
+from __future__ import annotations
+
+import json
+import math
+import os
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, List, Tuple
+
+import numpy as np
+
+EGO_SCALES = [1.0, 0.84089641525, 0.7071067811803005, 0.5946035574934808,
+              0.4999999999911653]
+EGO_MEAN = np.asarray([114.7748, 107.7354, 99.475], np.float32)
+SAMPLE_SIZE = 112
+SAMPLE_DURATION = 32
+
+
+def temporal_random_crop(frame_indices: List[int], size: int, downsample: int,
+                         rng) -> List[int]:
+    """nv_temporal_transforms.py:96-134."""
+    vid_duration = len(frame_indices)
+    clip_duration = size * downsample
+    rand_end = max(0, vid_duration - clip_duration - 1)
+    begin = int(rng.randint(0, rand_end + 1))
+    end = min(begin + clip_duration, vid_duration)
+    out = list(frame_indices[begin:end])
+    for index in list(out):
+        if len(out) >= clip_duration:
+            break
+        out.append(index)
+    # loop-pad may still be short for tiny clips: cycle
+    while len(out) < clip_duration:
+        out.extend(out[:clip_duration - len(out)])
+    return [out[i] for i in range(0, clip_duration, downsample)]
+
+
+def temporal_center_crop(frame_indices: List[int], size: int,
+                         downsample: int) -> List[int]:
+    """nv_temporal_transforms.py:56-93."""
+    vid_duration = len(frame_indices)
+    clip_duration = size * downsample
+    center = len(frame_indices) // 2
+    begin = max(0, center - clip_duration // 2)
+    end = min(begin + clip_duration, vid_duration)
+    out = list(frame_indices[begin:end])
+    for index in list(out):
+        if len(out) >= clip_duration:
+            break
+        out.append(index)
+    while len(out) < clip_duration:
+        out.extend(out[:clip_duration - len(out)])
+    return [out[i] for i in range(0, clip_duration, downsample)]
+
+
+def _resize(img: np.ndarray, size_hw: Tuple[int, int]) -> np.ndarray:
+    """Bilinear resize via cv2 (PIL-compatible enough for training)."""
+    import cv2
+    out = cv2.resize(img, (size_hw[1], size_hw[0]),
+                     interpolation=cv2.INTER_LINEAR)
+    if out.ndim == 2:
+        out = out[:, :, None]
+    return out
+
+
+def multiscale_random_crop(img: np.ndarray, scale: float, tl_x: float,
+                           tl_y: float, size: int) -> np.ndarray:
+    """nv_spatial_transforms.py:342-369 with pre-drawn (scale, tl_x, tl_y)."""
+    h, w = img.shape[:2]
+    crop_size = int(min(w, h) * scale)
+    x1 = int(tl_x * (w - crop_size))
+    y1 = int(tl_y * (h - crop_size))
+    crop = img[y1:y1 + crop_size, x1:x1 + crop_size]
+    return _resize(crop, (size, size))
+
+
+def scale_center_crop(img: np.ndarray, size: int) -> np.ndarray:
+    """Scale(short side -> size) + CenterCrop(size)."""
+    h, w = img.shape[:2]
+    if w <= h:
+        nw, nh = size, int(round(size * h / w))
+    else:
+        nh, nw = size, int(round(size * w / h))
+    img = _resize(img, (nh, nw))
+    y1 = (nh - size) // 2
+    x1 = (nw - size) // 2
+    return img[y1:y1 + size, x1:x1 + size]
+
+
+def make_dataset(root_path: str, annotation_path: str, subset) -> Tuple[list, dict]:
+    """ego.py:118-176 (n_samples_for_each_video=1 path)."""
+    subsets = subset if isinstance(subset, list) else [subset]
+    with open(annotation_path) as f:
+        data = json.load(f)
+    class_to_idx = {label: i for i, label in enumerate(data["labels"])}
+    idx_to_class = {i: label for label, i in class_to_idx.items()}
+    dataset = []
+    for key, value in data["database"].items():
+        if value["subset"] not in subsets:
+            continue
+        ann = value["annotations"]
+        video_path = os.path.join(root_path, key.split("_")[0])
+        if not os.path.exists(video_path):
+            continue
+        begin_t = int(float(ann["start_frame"]))
+        end_t = int(float(ann["end_frame"]))
+        dataset.append({
+            "video": video_path,
+            "frame_indices": list(range(begin_t, end_t + 1)),
+            "label": class_to_idx[ann["label"]],
+        })
+    return dataset, idx_to_class
+
+
+def _depth_dir(video_dir_path: str) -> str:
+    """ego.py:64: '<root2up>/Depth/depth<last-char-of-rgb-dir>/'."""
+    return os.path.join(video_dir_path.rsplit(os.sep, 2)[0], "Depth",
+                        "depth" + video_dir_path[-1])
+
+
+def _load_jpg(path: str, gray: bool) -> np.ndarray:
+    from PIL import Image
+    with open(path, "rb") as f:
+        with Image.open(f) as img:
+            img = img.convert("L" if gray else "RGB")
+            arr = np.asarray(img, np.float32)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    return arr
+
+
+class EgoDataset:
+    """RGB-D EgoGesture dataset with per-clip randomized transforms."""
+
+    def __init__(self, root_path: str, annotation_path: str, subset,
+                 small_dataset: bool = False, sample_size: int = SAMPLE_SIZE,
+                 sample_duration: int = SAMPLE_DURATION, downsample: int = 1,
+                 train_transform: bool = False, num_workers: int = 8):
+        if subset == "train_dev":
+            subset = ["training", "validation"]
+        self.data, self.class_names = make_dataset(root_path, annotation_path,
+                                                   subset)
+        if small_dataset:
+            self.data = self.data[:64]
+        self.sample_size = sample_size
+        self.sample_duration = sample_duration
+        self.downsample = downsample
+        self.train_transform = train_transform
+        self._pool = ThreadPoolExecutor(max_workers=max(1, num_workers))
+
+    def __len__(self):
+        return len(self.data)
+
+    def load_sample(self, idx: int, seed: int) -> Dict[str, np.ndarray]:
+        rng = np.random.RandomState(seed % (2 ** 32))
+        rec = self.data[idx]
+        if self.train_transform:
+            indices = temporal_random_crop(rec["frame_indices"],
+                                           self.sample_duration,
+                                           self.downsample, rng)
+            scale = EGO_SCALES[rng.randint(0, len(EGO_SCALES))]
+            tl_x, tl_y = rng.rand(), rng.rand()
+
+            def spatial(img):
+                return multiscale_random_crop(img, scale, tl_x, tl_y,
+                                              self.sample_size)
+        else:
+            indices = temporal_center_crop(rec["frame_indices"],
+                                           self.sample_duration,
+                                           self.downsample)
+
+            def spatial(img):
+                return scale_center_crop(img, self.sample_size)
+
+        depth_dir = _depth_dir(rec["video"])
+        rgb_frames, depth_frames = [], []
+        for i in indices:
+            rgb = _load_jpg(os.path.join(rec["video"], f"{i:06d}.jpg"), False)
+            dep = _load_jpg(os.path.join(depth_dir, f"{i:06d}.jpg"), True)
+            rgb_frames.append(spatial(rgb))
+            depth_frames.append(spatial(dep))
+        rgb = np.stack(rgb_frames)                       # (T, S, S, 3)
+        depth = np.stack(depth_frames)                   # (T, S, S, 1)
+        # ToTensor(norm_value=1) keeps 0-255; mean-subtract RGB only
+        # (Normalize zips 3 means against 4 channels in the reference).
+        rgb = rgb - EGO_MEAN.reshape(1, 1, 1, 3)
+        return {"rgb": rgb.astype(np.float32),
+                "depth": depth.astype(np.float32),
+                "label": np.int32(rec["label"])}
+
+    def batches(self, batch_size: int, shuffle: bool, seed: int = 0,
+                pad_to_full: bool = True) -> Iterator[Dict[str, np.ndarray]]:
+        seed = seed % (2 ** 32)
+        order = np.arange(len(self))
+        if shuffle:
+            np.random.RandomState(seed).shuffle(order)
+        for start in range(0, len(self), batch_size):
+            idxs = order[start:start + batch_size]
+            seeds = [int((seed * 7919 + i) % (2 ** 32)) for i in idxs]
+            samples = list(self._pool.map(self.load_sample, idxs, seeds))
+            n = len(samples)
+            b = batch_size if pad_to_full else n
+            out = {
+                "rgb": np.zeros((b,) + samples[0]["rgb"].shape, np.float32),
+                "depth": np.zeros((b,) + samples[0]["depth"].shape, np.float32),
+                "label": np.zeros((b,), np.int32),
+                "mask": np.zeros((b,), np.float32),
+            }
+            for i, s in enumerate(samples):
+                out["rgb"][i] = s["rgb"]
+                out["depth"][i] = s["depth"]
+                out["label"][i] = s["label"]
+                out["mask"][i] = 1.0
+            yield out
+
+    def num_batches(self, batch_size: int) -> int:
+        return -(-len(self) // batch_size)

@@ -30,6 +30,45 @@ def make_mmimdb_synthetic(root: str, n_per_stage: int = 8,
     return root
 
 
+def make_ego_synthetic(root: str, n_per_subset: int = 4, num_classes: int = 5,
+                       hw: int = 48, frames: int = 12, seed: int = 0) -> str:
+    """Tiny EgoGesture-layout dataset: JPEG frame dirs + annotation JSON
+    (structure per datasets/ego.py:51-115). Returns (root, annotation_path)."""
+    import json
+
+    from PIL import Image
+
+    rng = np.random.RandomState(seed)
+    labels = [f"gesture{i}" for i in range(num_classes)]
+    database = {}
+    vid = 0
+    for subset in ("training", "validation", "testing"):
+        for _ in range(n_per_subset):
+            subj = f"sub{vid:02d}"
+            rgb_dir = os.path.join(root, subj, "scene1", "Color", "rgb1")
+            depth_dir = os.path.join(root, subj, "scene1", "Depth", "depth1")
+            os.makedirs(rgb_dir, exist_ok=True)
+            os.makedirs(depth_dir, exist_ok=True)
+            for f in range(1, frames + 1):
+                arr = (rng.rand(hw, hw, 3) * 255).astype(np.uint8)
+                Image.fromarray(arr).save(
+                    os.path.join(rgb_dir, f"{f:06d}.jpg"))
+                dep = (rng.rand(hw, hw) * 255).astype(np.uint8)
+                Image.fromarray(dep, mode="L").save(
+                    os.path.join(depth_dir, f"{f:06d}.jpg"))
+            key = f"{subj}/scene1/Color/rgb1_{vid}"
+            database[key] = {
+                "subset": subset,
+                "annotations": {"label": labels[rng.randint(num_classes)],
+                                "start_frame": 1, "end_frame": frames},
+            }
+            vid += 1
+    ann_path = os.path.join(root, "annotation.json")
+    with open(ann_path, "w") as f:
+        json.dump({"labels": labels, "database": database}, f)
+    return ann_path
+
+
 def _write_skeleton_file(path: str, num_frames: int, rng) -> None:
     """Minimal NTU .skeleton text format (datasets/ntu.py:38-78 parser)."""
     lines = [str(num_frames)]

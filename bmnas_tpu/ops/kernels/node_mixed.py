@@ -1,0 +1,193 @@
+"""Fused Pallas TPU kernel for the inner fusion mixed-op (inference path).
+
+The hot inner loop of BM-NAS fusion is the gamma-weighted sum of the four
+two-input ops (node_operations.py:110-120):
+
+    out = g0*(x+y) + g1*Attn(x,y) + g2*GLU(x,y) + g3*ConcatFC(x,y)
+
+Executed as separate modules (reference) or separate XLA ops, x and y are
+read from memory once per branch and three intermediates round-trip through
+HBM. This kernel computes all four branches in one VMEM residency per batch
+row: x, y are loaded once, the three matmuls (attention scores L x L,
+GLU (L,2C)@(2C,2C), ConcatFC (L,2C)@(2C,C)) run back-to-back on the MXU, and
+the weighted combine happens in registers.
+
+Inference-mode semantics: BatchNorms are FOLDED into the dense weights
+(`fuse_bn_into_dense`) and dropout is identity — this is the found-net
+serving path. Training keeps the jnp composite (XLA already fuses the
+elementwise tails there, and train-mode BN needs cross-batch reductions).
+
+Shapes: x, y (B, L, C); one grid program per batch row; block (L, C) and the
+(2C, 2C) weights sit in VMEM (L<=16, C<=192 in all reference configs ->
+< 1 MB). The layout is blockwise-extensible over L: scores are computed for
+the full (L, L) tile, which holds to L = 128 per tile before a second-level
+grid would be needed (SURVEY.md §5.7).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+import flax.struct
+
+
+class NodeMixedParams(flax.struct.PyTreeNode):
+    """Folded inference parameters of one NodeMixedOp (a jax pytree)."""
+    ln_scale: jnp.ndarray   # (L, C)  attention LayerNorm
+    ln_bias: jnp.ndarray    # (L, C)
+    glu_kernel: jnp.ndarray  # (2C, 2C) BN-folded
+    glu_bias: jnp.ndarray    # (2C,)
+    cfc_kernel: jnp.ndarray  # (2C, C) BN-folded
+    cfc_bias: jnp.ndarray    # (C,)
+
+
+def fuse_bn_into_dense(kernel: jnp.ndarray, bias: jnp.ndarray,
+                       scale: jnp.ndarray, bn_bias: jnp.ndarray,
+                       mean: jnp.ndarray, var: jnp.ndarray,
+                       eps: float = 1e-5):
+    """Fold an eval-mode BatchNorm following a Dense into the Dense weights:
+    y = scale * (xW + b - mean) / sqrt(var + eps) + bn_bias."""
+    inv = scale / jnp.sqrt(var + eps)
+    return kernel * inv[None, :], (bias - mean) * inv + bn_bias
+
+
+def node_mixed_op_reference(x, y, gammas, p: NodeMixedParams,
+                            eps: float = 1e-5):
+    """Pure-jnp reference with identical semantics (eval mode)."""
+    d_k = x.shape[-1]
+    s = x + y
+    scores = jnp.einsum("blc,bmc->blm", x, y) / math.sqrt(d_k)
+    attn = jax.nn.softmax(scores, axis=-1)
+    a = jnp.einsum("blm,bmc->blc", attn, y)
+    mean = jnp.mean(a, axis=(-2, -1), keepdims=True)
+    var = jnp.var(a, axis=(-2, -1), keepdims=True)
+    a = (a - mean) * jax.lax.rsqrt(var + eps) * p.ln_scale + p.ln_bias
+
+    cat = jnp.concatenate([x, y], axis=-1)
+    h = cat @ p.glu_kernel + p.glu_bias
+    g1, g2 = jnp.split(h, 2, axis=-1)
+    g = g1 * jax.nn.sigmoid(g2)
+
+    c = jax.nn.relu(cat @ p.cfc_kernel + p.cfc_bias)
+    return gammas[0] * s + gammas[1] * a + gammas[2] * g + gammas[3] * c
+
+
+def _kernel(gamma_ref, x_ref, y_ref, ln_s_ref, ln_b_ref, gw_ref, gb_ref,
+            cw_ref, cb_ref, out_ref, *, eps: float):
+    x = x_ref[0]                     # (L, C)
+    y = y_ref[0]
+    L, C = x.shape
+    g0 = gamma_ref[0, 0]
+    g1 = gamma_ref[0, 1]
+    g2 = gamma_ref[0, 2]
+    g3 = gamma_ref[0, 3]
+
+    # branch 0: sum
+    out = g0 * (x + y)
+
+    # branch 1: scaled dot attention + LayerNorm over (L, C)
+    scores = jax.lax.dot_general(
+        x, y, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * (1.0 / math.sqrt(C))
+    scores = scores - jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores)
+    attn = e / jnp.sum(e, axis=-1, keepdims=True)
+    a = jnp.dot(attn, y, preferred_element_type=jnp.float32)
+    mean = jnp.mean(a)
+    var = jnp.mean((a - mean) * (a - mean))
+    a = (a - mean) * jax.lax.rsqrt(var + eps) * ln_s_ref[:] + ln_b_ref[:]
+    out = out + g1 * a
+
+    # shared concat for branches 2 and 3
+    cat = jnp.concatenate([x, y], axis=-1)      # (L, 2C)
+
+    # branch 2: GLU (BN folded into gw/gb)
+    h = jnp.dot(cat, gw_ref[:], preferred_element_type=jnp.float32) + gb_ref[:]
+    ga = h[:, :C]
+    gb = h[:, C:]
+    out = out + g2 * (ga * (1.0 / (1.0 + jnp.exp(-gb))))
+
+    # branch 3: ConcatFC (BN folded into cw/cb)
+    c = jnp.dot(cat, cw_ref[:], preferred_element_type=jnp.float32) + cb_ref[:]
+    out = out + g3 * jnp.maximum(c, 0.0)
+
+    out_ref[0] = out
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
+def node_mixed_op_fused(x: jnp.ndarray, y: jnp.ndarray, gammas: jnp.ndarray,
+                        p: NodeMixedParams, eps: float = 1e-5,
+                        interpret: bool = False) -> jnp.ndarray:
+    """Fused eval-mode NodeMixedOp. x, y: (B, L, C); gammas: (4,)."""
+    B, L, C = x.shape
+    gammas2d = jnp.reshape(gammas.astype(jnp.float32), (1, 4))
+    grid = (B,)
+    row = lambda i: (i, 0, 0)
+    full = lambda i: (0, 0)
+    return pl.pallas_call(
+        functools.partial(_kernel, eps=eps),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, L, C), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L, C), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, C), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, C), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * C, 2 * C), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * C,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * C, C), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C,), lambda i: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, L, C), row, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, L, C), x.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=B * (2 * L * L * C * 2 + 2 * L * 2 * C * 2 * C
+                       + 2 * L * 2 * C * C),
+            bytes_accessed=B * L * C * 4 * 3 + (2 * C) * (3 * C) * 4,
+            transcendentals=B * L * (L + C),
+        ),
+    )(gammas2d, x, y, p.ln_scale, p.ln_bias, p.glu_kernel, p.glu_bias,
+      p.cfc_kernel, p.cfc_bias)
+
+
+def params_from_flax(node_mixed_params: dict, eps: float = 1e-5
+                     ) -> NodeMixedParams:
+    """Extract + fold a trained NodeMixedOp's flax param/batch_stats subtree.
+
+    Expects the variables of ops.fusion_ops.NodeMixedOp:
+      ScaledDotAttn_0/LayerNorm2D_0/{scale,bias}
+      LinearGLU_0/Dense_0/{kernel,bias} + BatchNorm_0(+stats)
+      ConcatFC_0/Dense_0/{kernel,bias} + BatchNorm_0(+stats)
+    ``node_mixed_params`` = {"params": ..., "batch_stats": ...} subtrees.
+    """
+    params = node_mixed_params["params"]
+    stats = node_mixed_params["batch_stats"]
+    ln = params["ScaledDotAttn_0"]["LayerNorm2D_0"]
+    glu_p = params["LinearGLU_0"]
+    cfc_p = params["ConcatFC_0"]
+    glu_k, glu_b = fuse_bn_into_dense(
+        glu_p["Dense_0"]["kernel"], glu_p["Dense_0"]["bias"],
+        glu_p["BatchNorm_0"]["BatchNorm_0"]["scale"],
+        glu_p["BatchNorm_0"]["BatchNorm_0"]["bias"],
+        stats["LinearGLU_0"]["BatchNorm_0"]["BatchNorm_0"]["mean"],
+        stats["LinearGLU_0"]["BatchNorm_0"]["BatchNorm_0"]["var"], eps)
+    cfc_k, cfc_b = fuse_bn_into_dense(
+        cfc_p["Dense_0"]["kernel"], cfc_p["Dense_0"]["bias"],
+        cfc_p["BatchNorm_0"]["BatchNorm_0"]["scale"],
+        cfc_p["BatchNorm_0"]["BatchNorm_0"]["bias"],
+        stats["ConcatFC_0"]["BatchNorm_0"]["BatchNorm_0"]["mean"],
+        stats["ConcatFC_0"]["BatchNorm_0"]["BatchNorm_0"]["var"], eps)
+    return NodeMixedParams(
+        ln_scale=ln["scale"], ln_bias=ln["bias"],
+        glu_kernel=glu_k, glu_bias=glu_b,
+        cfc_kernel=cfc_k, cfc_bias=cfc_b)

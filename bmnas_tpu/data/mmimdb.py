@@ -30,7 +30,8 @@ TEXT_DIM = 300
 
 class MMIMDBDataset:
     def __init__(self, root_dir: str, stage: str, small_dataset: bool = False,
-                 num_workers: int = 8, length: Optional[int] = None):
+                 num_workers: int = 8, length: Optional[int] = None,
+                 use_native: Optional[bool] = None):
         assert stage in SPLIT_SIZES, stage
         self.root_dir = root_dir
         self.stage = stage
@@ -43,6 +44,31 @@ class MMIMDBDataset:
             if 0 < available < self.len_data:
                 self.len_data = available
         self._pool = ThreadPoolExecutor(max_workers=max(1, num_workers))
+        # native C++ batch loader (bmnas_tpu/native): uniform-shape float32
+        # npy fast path; auto-detected unless explicitly disabled.
+        self._native = None
+        self._shapes = None
+        if use_native is not False:
+            try:
+                from bmnas_tpu.native import NativeNpyLoader, native_available
+                if native_available():
+                    self._native = NativeNpyLoader(num_threads=num_workers)
+            except Exception:
+                self._native = None
+
+    def _probe_shapes(self):
+        if self._shapes is None:
+            s = self.load_sample(0)
+            ip, _, _ = self._paths(0)
+            raw_image = np.load(ip)
+            self._shapes = {
+                "raw_image": raw_image.shape,
+                "image": s["image"].shape,
+                "label": s["label"].shape,
+                "needs_transpose": raw_image.shape != s["image"].shape,
+                "raw_dtype_ok": raw_image.dtype == np.float32,
+            }
+        return self._shapes
 
     def __len__(self) -> int:
         return self.len_data
@@ -71,11 +97,38 @@ class MMIMDBDataset:
         order = np.arange(self.len_data)
         if shuffle:
             np.random.RandomState(seed % (2**32)).shuffle(order)
+        native = self._native
+        shapes = self._probe_shapes() if native is not None else None
+        if shapes is not None and not shapes["raw_dtype_ok"]:
+            native = None  # non-f32 on disk: numpy path casts
+
         for start in range(0, self.len_data, batch_size):
             idxs = order[start:start + batch_size]
-            samples = list(self._pool.map(self.load_sample, idxs))
-            n = len(samples)
+            n = len(idxs)
             b = batch_size if pad_to_full else n
+            if native is not None:
+                try:
+                    paths = [self._paths(i) for i in idxs]
+                    raw = native.load_batch([p[0] for p in paths],
+                                            shapes["raw_image"])
+                    if shapes["needs_transpose"]:
+                        raw = np.transpose(raw, (0, 2, 3, 1))
+                    image = np.zeros((b,) + shapes["image"], np.float32)
+                    image[:n] = raw
+                    text = np.zeros((b, TEXT_DIM), np.float32)
+                    text[:n] = native.load_batch(
+                        [p[1] for p in paths], (TEXT_DIM,))
+                    label = np.zeros((b,) + shapes["label"], np.float32)
+                    label[:n] = native.load_batch(
+                        [p[2] for p in paths], shapes["label"])
+                    mask = np.zeros((b,), np.float32)
+                    mask[:n] = 1.0
+                    yield {"image": image, "text": text, "label": label,
+                           "mask": mask}
+                    continue
+                except (IOError, AssertionError):
+                    native = None  # fall back for the rest of the epoch
+            samples = list(self._pool.map(self.load_sample, idxs))
             image = np.zeros((b,) + samples[0]["image"].shape, np.float32)
             text = np.zeros((b, TEXT_DIM), np.float32)
             label = np.zeros((b,) + samples[0]["label"].shape, np.float32)

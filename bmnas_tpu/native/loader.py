@@ -1,0 +1,67 @@
+"""ctypes wrapper over the native threaded .npy batch loader.
+
+Falls back cleanly: ``native_available()`` is False when the library can't
+be built (no compiler) — callers then use the numpy thread-pool path.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+_lib = None
+_lib_error: Optional[str] = None
+
+
+def _load():
+    global _lib, _lib_error
+    if _lib is not None or _lib_error is not None:
+        return _lib
+    try:
+        from bmnas_tpu.native.build import build
+        path = build()
+        lib = ctypes.CDLL(path)
+        lib.npy_load_batch.restype = ctypes.c_int
+        lib.npy_load_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_longlong,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int]
+        lib.npy_load_batch_var.restype = ctypes.c_int
+        lib.npy_load_batch_var.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_longlong),
+            ctypes.POINTER(ctypes.c_longlong),
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int]
+        _lib = lib
+    except Exception as e:  # pragma: no cover - depends on toolchain
+        _lib_error = str(e)
+        _lib = None
+    return _lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+class NativeNpyLoader:
+    """Batch loader: reads N same-shape float32 .npy files into one array."""
+
+    def __init__(self, num_threads: int = 8):
+        self.num_threads = max(1, int(num_threads))
+        if _load() is None:
+            raise RuntimeError(f"native loader unavailable: {_lib_error}")
+
+    def load_batch(self, paths: Sequence[str], sample_shape) -> np.ndarray:
+        """Read ``len(paths)`` files, each a float32 C-order array of
+        ``sample_shape``, into a (N, *sample_shape) array."""
+        n = len(paths)
+        elems = int(np.prod(sample_shape))
+        out = np.empty((n,) + tuple(sample_shape), np.float32)
+        arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+        failures = _lib.npy_load_batch(
+            arr, n, elems, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            self.num_threads)
+        if failures:
+            raise IOError(f"native loader: {failures}/{n} reads failed")
+        return out

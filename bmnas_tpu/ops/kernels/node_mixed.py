@@ -17,6 +17,15 @@ Inference-mode semantics: BatchNorms are FOLDED into the dense weights
 serving path. Training keeps the jnp composite (XLA already fuses the
 elementwise tails there, and train-mode BN needs cross-batch reductions).
 
+Measured on TPU v5e (B=96, L=16, C=192, fp32, dispatch amortized inside one
+jit): fused kernel 34 us/op vs XLA composite 25 us/op. At the reference's
+tiny L the op is GEMM-roofline-bound and XLA's batched-GEMM handling already
+wins — the block-diagonal attention trick pays 64x redundant score FLOPs per
+tile. The kernel is therefore NOT the default; it is kept as the scaling
+path: for L >= 128 (longer fusion sequences) the (R, R) score tile equals
+one sample, the redundancy vanishes, and the single-VMEM-residency fusion
+dominates. Select with ``use_pallas=True`` in bmnas_tpu.serving.
+
 Shapes: x, y (B, L, C); one grid program per batch row; block (L, C) and the
 (2C, 2C) weights sit in VMEM (L<=16, C<=192 in all reference configs ->
 < 1 MB). The layout is blockwise-extensible over L: scores are computed for
@@ -82,82 +91,123 @@ def node_mixed_op_reference(x, y, gammas, p: NodeMixedParams,
 
 
 def _kernel(gamma_ref, x_ref, y_ref, ln_s_ref, ln_b_ref, gw_ref, gb_ref,
-            cw_ref, cb_ref, out_ref, *, eps: float):
-    x = x_ref[0]                     # (L, C)
-    y = y_ref[0]
-    L, C = x.shape
+            cw_ref, cb_ref, out_ref, *, eps: float, L: int, tile_b: int):
+    """One program handles a tile of ``tile_b`` samples, laid out 2D.
+
+    MXU utilization is the design driver: with L=16 a per-sample GEMM has 16
+    rows (12.5% of a 128-row MXU pass). Tiling 8 samples gives 128-row GEMMs
+    for the GLU/ConcatFC branches, the attention scores for the whole tile
+    are ONE (tile_b*L, tile_b*L) GEMM masked to its block diagonal (rows of
+    the softmax only attend within their own sample), and the per-sample
+    LayerNorm statistics come from a block-averaging matmul — everything
+    stays strictly 2D (no in-kernel reshapes, which Mosaic lowers poorly).
+    """
+    x2 = x_ref[:]                    # (R, C), R = tile_b * L
+    y2 = y_ref[:]
+    R, C = x2.shape
     g0 = gamma_ref[0, 0]
     g1 = gamma_ref[0, 1]
     g2 = gamma_ref[0, 2]
     g3 = gamma_ref[0, 3]
 
-    # branch 0: sum
-    out = g0 * (x + y)
+    row_blk = jax.lax.broadcasted_iota(jnp.int32, (R, R), 0) // L
+    col_blk = jax.lax.broadcasted_iota(jnp.int32, (R, R), 1) // L
+    same_blk = row_blk == col_blk
 
-    # branch 1: scaled dot attention + LayerNorm over (L, C)
+    # branch 0: sum
+    out2 = g0 * (x2 + y2)
+
+    # branch 1: block-diagonal attention + per-sample LayerNorm
     scores = jax.lax.dot_general(
-        x, y, dimension_numbers=(((1,), (1,)), ((), ())),
+        x2, y2, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * (1.0 / math.sqrt(C))
+    scores = jnp.where(same_blk, scores, jnp.float32(-1e30))
     scores = scores - jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores)
     attn = e / jnp.sum(e, axis=-1, keepdims=True)
-    a = jnp.dot(attn, y, preferred_element_type=jnp.float32)
-    mean = jnp.mean(a)
-    var = jnp.mean((a - mean) * (a - mean))
-    a = (a - mean) * jax.lax.rsqrt(var + eps) * ln_s_ref[:] + ln_b_ref[:]
-    out = out + g1 * a
+    a2 = jnp.dot(attn, y2, preferred_element_type=jnp.float32)   # (R, C)
 
-    # shared concat for branches 2 and 3
-    cat = jnp.concatenate([x, y], axis=-1)      # (L, 2C)
+    # per-sample mean/var via block-averaging matmul: bavg[i, j] = 1/(L*C)
+    # within a sample's row block. E[a], E[a^2] per row -> per sample.
+    bavg = jnp.where(same_blk, jnp.float32(1.0 / (L * C)), jnp.float32(0.0))
+    s1 = jnp.sum(a2, axis=1, keepdims=True)                      # (R, 1)
+    s2 = jnp.sum(a2 * a2, axis=1, keepdims=True)
+    mean = jnp.dot(bavg, s1, preferred_element_type=jnp.float32)  # (R, 1)
+    ex2 = jnp.dot(bavg, s2, preferred_element_type=jnp.float32)
+    var = ex2 - mean * mean
+    a2 = (a2 - mean) * jax.lax.rsqrt(var + eps) * ln_s_ref[:] + ln_b_ref[:]
+    out2 = out2 + g1 * a2
+
+    # shared concat for branches 2 and 3: (R, 2C)
+    cat = jnp.concatenate([x2, y2], axis=-1)
 
     # branch 2: GLU (BN folded into gw/gb)
     h = jnp.dot(cat, gw_ref[:], preferred_element_type=jnp.float32) + gb_ref[:]
     ga = h[:, :C]
     gb = h[:, C:]
-    out = out + g2 * (ga * (1.0 / (1.0 + jnp.exp(-gb))))
+    out2 = out2 + g2 * (ga * (1.0 / (1.0 + jnp.exp(-gb))))
 
     # branch 3: ConcatFC (BN folded into cw/cb)
     c = jnp.dot(cat, cw_ref[:], preferred_element_type=jnp.float32) + cb_ref[:]
-    out = out + g3 * jnp.maximum(c, 0.0)
+    out2 = out2 + g3 * jnp.maximum(c, 0.0)
 
-    out_ref[0] = out
+    out_ref[:] = out2
 
 
-@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
+@functools.partial(jax.jit, static_argnames=("eps", "interpret", "tile_b"))
 def node_mixed_op_fused(x: jnp.ndarray, y: jnp.ndarray, gammas: jnp.ndarray,
                         p: NodeMixedParams, eps: float = 1e-5,
-                        interpret: bool = False) -> jnp.ndarray:
-    """Fused eval-mode NodeMixedOp. x, y: (B, L, C); gammas: (4,)."""
+                        interpret: bool = False,
+                        tile_b: int = 8) -> jnp.ndarray:
+    """Fused eval-mode NodeMixedOp. x, y: (B, L, C); gammas: (4,).
+
+    The batch is padded to a multiple of ``tile_b`` (pad rows are dropped on
+    return; their softmax is well-defined thanks to the block-diagonal mask).
+    """
     B, L, C = x.shape
+    tile_b = min(tile_b, max(1, B))
+    Bp = ((B + tile_b - 1) // tile_b) * tile_b
+    if Bp != B:
+        pad = [(0, Bp - B), (0, 0), (0, 0)]
+        x = jnp.pad(x, pad)
+        y = jnp.pad(y, pad)
+    R = tile_b * L
+    x2 = x.reshape(Bp * L, C)
+    y2 = y.reshape(Bp * L, C)
+    ln_s = jnp.tile(p.ln_scale, (tile_b, 1))          # (R, C)
+    ln_b = jnp.tile(p.ln_bias, (tile_b, 1))
+    gb2 = p.glu_bias.reshape(1, 2 * C)
+    cb2 = p.cfc_bias.reshape(1, C)
     gammas2d = jnp.reshape(gammas.astype(jnp.float32), (1, 4))
-    grid = (B,)
-    row = lambda i: (i, 0, 0)
+    grid = (Bp // tile_b,)
+    tile = lambda i: (i, 0)
     full = lambda i: (0, 0)
-    return pl.pallas_call(
-        functools.partial(_kernel, eps=eps),
+    out = pl.pallas_call(
+        functools.partial(_kernel, eps=eps, L=L, tile_b=tile_b),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, L, C), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, L, C), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, C), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, C), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, C), tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, C), tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, C), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, C), full, memory_space=pltpu.VMEM),
             pl.BlockSpec((2 * C, 2 * C), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((2 * C,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * C), full, memory_space=pltpu.VMEM),
             pl.BlockSpec((2 * C, C), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((C,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), full, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, L, C), row, memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, L, C), x.dtype),
+        out_specs=pl.BlockSpec((R, C), tile, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bp * L, C), x.dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=B * (2 * L * L * C * 2 + 2 * L * 2 * C * 2 * C
-                       + 2 * L * 2 * C * C),
-            bytes_accessed=B * L * C * 4 * 3 + (2 * C) * (3 * C) * 4,
-            transcendentals=B * L * (L + C),
+            flops=(Bp // tile_b) * (2 * R * R * C * 2
+                                    + 2 * R * 2 * C * 2 * C
+                                    + 2 * R * 2 * C * C),
+            bytes_accessed=Bp * L * C * 4 * 3 + (2 * C) * (3 * C) * 4,
+            transcendentals=(Bp // tile_b) * R * (R + C),
         ),
-    )(gammas2d, x, y, p.ln_scale, p.ln_bias, p.glu_kernel, p.glu_bias,
-      p.cfc_kernel, p.cfc_bias)
+    )(gammas2d, x2, y2, ln_s, ln_b, p.glu_kernel, gb2, p.cfc_kernel, cb2)
+    return out.reshape(Bp, L, C)[:B]
 
 
 def params_from_flax(node_mixed_params: dict, eps: float = 1e-5

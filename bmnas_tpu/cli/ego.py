@@ -85,6 +85,7 @@ def _add_ego_flags(parser, *, search: bool):
     parser.add_argument('--sample_duration', type=int, default=32)
     parser.add_argument('--downsample', type=int, default=1)
     parser.add_argument('--resume', type=str, default=None)
+    parser.add_argument('--profile_dir', type=str, default=None)
     if not search:
         parser.add_argument('--search_exp_dir', type=str, default=None)
         parser.add_argument('--eval_exp_dir', type=str, default=None)

@@ -89,6 +89,7 @@ def _add_ntu_flags(parser, *, search: bool):
     parser.add_argument('--vid_len', action='store', default=(8, 32),
                         type=int, nargs='+')
     parser.add_argument('--resume', type=str, default=None)
+    parser.add_argument('--profile_dir', type=str, default=None)
     if not search:
         parser.add_argument('--search_exp_dir', type=str, default=None)
         parser.add_argument('--eval_exp_dir', type=str, default=None)

@@ -74,6 +74,7 @@ def run_training(
     genotype_fn: Optional[Callable[[TrainState], Genotype]],
     fusion_param_keys: Callable[[str], bool] = None,
     save_resume: bool = True,
+    profile_dir: Optional[str] = None,
 ):
     """Returns (best_metric, best_genotype, state). In search mode the best
     is tracked on dev; in eval mode on test (train_searchable/mmimdb.py:202-205)."""
@@ -90,12 +91,20 @@ def run_training(
     else:
         phases = ["train", "test"]
 
+    if profile_dir is None:
+        profile_dir = getattr(args, "profile_dir", None)
+    profiling = False
+
     failsafe = True
     cont_overloop = 0
     while failsafe:
         for epoch in range(num_epochs):
             logger.info("Epoch: {}".format(epoch))
             logger.info("EXP: {}".format(args.save))
+            if profile_dir and epoch == 0 and not profiling:
+                # capture the first epoch (includes compile + steady state)
+                jax.profiler.start_trace(profile_dir)
+                profiling = True
 
             genotype = None
             for phase in phases:
@@ -167,6 +176,11 @@ def run_training(
                         if best_test_genotype is not None:
                             save_genotype(best_test_genotype, os.path.join(
                                 args.save, "best", "best_test_genotype.pkl"))
+
+            if profiling:
+                jax.profiler.stop_trace()
+                profiling = False
+                logger.info("Profiler trace written to %s", profile_dir)
 
             if plotter is not None and genotype is not None:
                 plotter.plot(genotype,

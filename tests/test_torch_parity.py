@@ -1,0 +1,115 @@
+"""Numerical parity of converted torch weights with our flax backbones.
+
+Builds torch models (random init, no downloads), converts their state dicts
+with utils.torch_convert, and checks forward agreement. This is the
+correctness proof for importing the reference's released checkpoints.
+"""
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax
+
+RNG = np.random.RandomState(0)
+
+
+def has_torchvision():
+    try:
+        import torchvision  # noqa: F401
+        return True
+    except Exception:
+        return False
+
+
+@pytest.mark.skipif(not has_torchvision(), reason="torchvision unavailable")
+class TestVGG19Parity:
+    def test_feature_taps_match(self):
+        import torchvision
+
+        from bmnas_tpu.models.mmimdb import GPVGG
+        from bmnas_tpu.utils.torch_convert import convert_vgg19
+
+        tm = torchvision.models.vgg19(weights=None).eval()
+        x = RNG.randn(2, 3, 64, 64).astype(np.float32)
+
+        # torch taps at feature indices 20/26/33/36 (central/mmimdb.py:26-47)
+        taps_t = {}
+        with torch.no_grad():
+            h = torch.from_numpy(x)
+            for i, layer in enumerate(tm.features):
+                h = layer(h)
+                if i in (20, 26, 33, 36):
+                    taps_t[i] = h.numpy()
+
+        model = GPVGG(num_outputs=5)
+        xj = jax.numpy.asarray(x.transpose(0, 2, 3, 1))
+        variables = model.init(jax.random.PRNGKey(0), xj, False)
+        params = convert_vgg19(
+            {k: v.numpy() for k, v in tm.state_dict().items()},
+            variables["params"])
+        outs = model.apply({"params": params,
+                            "batch_stats": variables["batch_stats"]},
+                           xj, False)
+        for j, i in enumerate((20, 26, 33, 36)):
+            got = np.asarray(outs[j]).transpose(0, 3, 1, 2)
+            np.testing.assert_allclose(got, taps_t[i], rtol=1e-3, atol=1e-4)
+
+
+class TestHCNParity:
+    def test_converted_conv_matches(self):
+        """Spot-check one conv path: torch Conv2d(3->8, (3,1)) on (N,C,T,V)
+        vs our channels-last conv after conversion."""
+        from bmnas_tpu.utils.torch_convert import conv2d_kernel
+        import flax.linen as nn
+        import jax.numpy as jnp
+
+        tconv = torch.nn.Conv2d(3, 8, (3, 1), padding=(1, 0))
+        x = RNG.randn(2, 3, 16, 25).astype(np.float32)
+        with torch.no_grad():
+            want = tconv(torch.from_numpy(x)).numpy()
+
+        fconv = nn.Conv(8, (3, 1), padding=((1, 1), (0, 0)))
+        xj = jnp.asarray(x.transpose(0, 2, 3, 1))
+        v = fconv.init(jax.random.PRNGKey(0), xj)
+        v = {"params": {
+            "kernel": jnp.asarray(conv2d_kernel(tconv.weight.detach().numpy())),
+            "bias": jnp.asarray(tconv.bias.detach().numpy())}}
+        got = np.asarray(fconv.apply(v, xj)).transpose(0, 3, 1, 2)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+class TestConv3dParity:
+    def test_converted_conv3d_matches(self):
+        from bmnas_tpu.utils.torch_convert import conv3d_kernel
+        import flax.linen as nn
+        import jax.numpy as jnp
+
+        tconv = torch.nn.Conv3d(4, 6, 3, padding=1, bias=False)
+        x = RNG.randn(1, 4, 4, 8, 8).astype(np.float32)
+        with torch.no_grad():
+            want = tconv(torch.from_numpy(x)).numpy()
+        fconv = nn.Conv(6, (3, 3, 3), padding=1, use_bias=False)
+        xj = jnp.asarray(x.transpose(0, 2, 3, 4, 1))
+        v = {"params": {"kernel": jnp.asarray(
+            conv3d_kernel(tconv.weight.detach().numpy()))}}
+        got = np.asarray(fconv.apply(v, xj)).transpose(0, 4, 1, 2, 3)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+class TestInflation:
+    def test_center_inflation_preserves_2d_response(self):
+        """Center-inflated 3D conv on a temporally-constant clip equals the
+        2D conv per frame (imagenet_pretraining.py:6-23 semantics)."""
+        from bmnas_tpu.utils.torch_convert import inflate_2d_to_3d
+        w2d = RNG.randn(5, 3, 3, 3).astype(np.float32)
+        w3d = inflate_2d_to_3d(w2d, time_dim=3, inflation="center")
+        x = RNG.randn(1, 3, 8, 8).astype(np.float32)
+        clip = np.repeat(x[:, :, None], 5, axis=2)  # (1, 3, T=5, 8, 8)
+        with torch.no_grad():
+            want = F.conv2d(torch.from_numpy(x), torch.from_numpy(w2d),
+                            padding=1).numpy()
+            got = F.conv3d(torch.from_numpy(clip), torch.from_numpy(w3d),
+                           padding=1).numpy()
+        # interior time steps see the full center slice
+        np.testing.assert_allclose(got[:, :, 2], want, rtol=1e-4, atol=1e-5)

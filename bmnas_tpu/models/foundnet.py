@@ -69,6 +69,70 @@ class FoundNodeCell(nn.Module):
         return out
 
 
+# ---------------------------------------------------------------------------
+# Ablation fusion-node variants (node.py:94-184). The reference selects these
+# only by editing source comments (model.py:52-59); here they are a proper
+# option: FoundFusionNetwork(..., node_variant=...).
+# ---------------------------------------------------------------------------
+
+class DartsFusionNode(nn.Module):
+    """x + y (node.py:94-105)."""
+
+    @nn.compact
+    def __call__(self, x, y, train: bool):
+        return x + y
+
+
+class MfasFusionNode(nn.Module):
+    """cat -> 1x1 conv -> BN -> ReLU -> dropout (node.py:107-129)."""
+    C: int
+    drpt: float
+
+    @nn.compact
+    def __call__(self, x, y, train: bool):
+        out = jnp.concatenate([x, y], axis=-1)
+        out = nn.Dense(self.C)(out)
+        out = BatchNorm()(out, train)
+        out = nn.relu(out)
+        out = nn.Dropout(self.drpt, deterministic=not train)(out)
+        return out
+
+
+class AoaFusionNode(nn.Module):
+    """attention then GLU over (x, attn_out) (node.py:132-151)."""
+    C: int
+    L: int
+    drpt: float
+
+    @nn.compact
+    def __call__(self, x, y, train: bool):
+        from bmnas_tpu.ops.fusion_ops import LinearGLU, ScaledDotAttn
+        out1 = ScaledDotAttn(C=self.C, L=self.L)(x, y, train)
+        return LinearGLU(C=self.C, drpt=self.drpt)(x, out1, train)
+
+
+class TwoHeadAttnFusionNode(nn.Module):
+    """two attention heads, concat, 1x1 conv (node.py:154-184)."""
+    C: int
+    L: int
+    drpt: float
+
+    @nn.compact
+    def __call__(self, x, y, train: bool):
+        from bmnas_tpu.ops.fusion_ops import ScaledDotAttn
+        out1 = ScaledDotAttn(C=self.C, L=self.L)(x, y, train)
+        out2 = ScaledDotAttn(C=self.C, L=self.L)(x, y, train)
+        out = jnp.concatenate([out1, out2], axis=-1)
+        out = nn.Dense(self.C)(out)
+        out = BatchNorm()(out, train)
+        out = nn.relu(out)
+        out = nn.Dropout(self.drpt, deterministic=not train)(out)
+        return out
+
+
+NODE_VARIANTS = ("bmnas", "darts", "mfas", "aoa", "two_head_attn")
+
+
 class FoundFusionCell(nn.Module):
     """Fixed outer cell compiled from genotype.edges (model.py:16-89)."""
     edges: Tuple[Tuple[str, int], ...]
@@ -79,6 +143,28 @@ class FoundFusionCell(nn.Module):
     C: int
     L: int
     drpt: float
+    node_variant: str = "bmnas"
+
+    def _make_step_node(self, i: int):
+        if self.node_variant == "bmnas":
+            inner_edges, inner_steps, _ = self.steps_genes[i]
+            return FoundNodeCell(
+                inner_edges=inner_edges, inner_steps=inner_steps,
+                node_steps=self.node_steps,
+                node_multiplier=self.node_multiplier,
+                C=self.C, L=self.L, drpt=self.drpt, name=f"step_node_{i}")
+        if self.node_variant == "darts":
+            return DartsFusionNode(name=f"step_node_{i}")
+        if self.node_variant == "mfas":
+            return MfasFusionNode(C=self.C, drpt=self.drpt,
+                                  name=f"step_node_{i}")
+        if self.node_variant == "aoa":
+            return AoaFusionNode(C=self.C, L=self.L, drpt=self.drpt,
+                                 name=f"step_node_{i}")
+        if self.node_variant == "two_head_attn":
+            return TwoHeadAttnFusionNode(C=self.C, L=self.L, drpt=self.drpt,
+                                         name=f"step_node_{i}")
+        raise ValueError(f"unknown node_variant {self.node_variant!r}")
 
     @nn.compact
     def __call__(self, input_features: Sequence[jnp.ndarray], train: bool):
@@ -90,17 +176,7 @@ class FoundFusionCell(nn.Module):
             name2, idx2 = self.edges[2 * i + 1]
             h1 = EdgeOp(kind=name1, C=self.C, drpt=self.drpt)(states[idx1], train)
             h2 = EdgeOp(kind=name2, C=self.C, drpt=self.drpt)(states[idx2], train)
-            inner_edges, inner_steps, _inner_concat = self.steps_genes[i]
-            s = FoundNodeCell(
-                inner_edges=inner_edges,
-                inner_steps=inner_steps,
-                node_steps=self.node_steps,
-                node_multiplier=self.node_multiplier,
-                C=self.C,
-                L=self.L,
-                drpt=self.drpt,
-                name=f"step_node_{i}",
-            )(h1, h2, train)
+            s = self._make_step_node(i)(h1, h2, train)
             states.append(s)
 
         out = jnp.concatenate(states[-multiplier:], axis=-1)
@@ -121,6 +197,7 @@ class FoundFusionNetwork(nn.Module):
     L: int
     drpt: float
     genotype: Tuple  # frozen via from_genotype()
+    node_variant: str = "bmnas"
 
     @classmethod
     def from_genotype(cls, genotype: G.Genotype, **kwargs) -> "FoundFusionNetwork":
@@ -139,6 +216,7 @@ class FoundFusionNetwork(nn.Module):
             C=self.C,
             L=self.L,
             drpt=self.drpt,
+            node_variant=self.node_variant,
             name="cell",
         )(input_features, train)
 

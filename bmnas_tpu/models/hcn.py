@@ -43,21 +43,29 @@ class HCN(nn.Module):
 
     def setup(self):
         oc, ws = self.out_channel, self.window_size
+        # Reference init: Xavier-uniform kernels, zero biases for every
+        # conv/linear (models/utils.py:8-27 weights_init via
+        # initial_model_weight, applied at central/ntu.py:117).
+        ki = nn.initializers.xavier_uniform()
+        bi = nn.initializers.zeros
+        conv = lambda f, k, pad, name: nn.Conv(
+            f, k, padding=pad, kernel_init=ki, bias_init=bi, name=name)
         # position stream
-        self.conv1 = nn.Conv(oc, (1, 1), name="conv1")
-        self.conv2 = nn.Conv(ws, (3, 1), padding=((1, 1), (0, 0)), name="conv2")
-        self.conv3 = nn.Conv(oc // 2, (3, 3), padding=1, name="conv3")
-        self.conv4 = nn.Conv(oc, (3, 3), padding=1, name="conv4")
+        self.conv1 = conv(oc, (1, 1), 0, "conv1")
+        self.conv2 = conv(ws, (3, 1), ((1, 1), (0, 0)), "conv2")
+        self.conv3 = conv(oc // 2, (3, 3), 1, "conv3")
+        self.conv4 = conv(oc, (3, 3), 1, "conv4")
         # motion stream
-        self.conv1m = nn.Conv(oc, (1, 1), name="conv1m")
-        self.conv2m = nn.Conv(ws, (3, 1), padding=((1, 1), (0, 0)), name="conv2m")
-        self.conv3m = nn.Conv(oc // 2, (3, 3), padding=1, name="conv3m")
-        self.conv4m = nn.Conv(oc, (3, 3), padding=1, name="conv4m")
+        self.conv1m = conv(oc, (1, 1), 0, "conv1m")
+        self.conv2m = conv(ws, (3, 1), ((1, 1), (0, 0)), "conv2m")
+        self.conv3m = conv(oc // 2, (3, 3), 1, "conv3m")
+        self.conv4m = conv(oc, (3, 3), 1, "conv4m")
         # merged
-        self.conv5 = nn.Conv(oc * 2, (3, 3), padding=1, name="conv5")
-        self.conv6 = nn.Conv(oc * 4, (3, 3), padding=1, name="conv6")
-        self.fc7 = nn.Dense(256 * 2, name="fc7")
-        self.fc8 = nn.Dense(self.num_outputs, name="fc8")
+        self.conv5 = conv(oc * 2, (3, 3), 1, "conv5")
+        self.conv6 = conv(oc * 4, (3, 3), 1, "conv6")
+        self.fc7 = nn.Dense(256 * 2, kernel_init=ki, bias_init=bi, name="fc7")
+        self.fc8 = nn.Dense(self.num_outputs, kernel_init=ki, bias_init=bi,
+                            name="fc8")
         self.drop_p = _ChannelDropout(self.drpt)
         self.drop_m = _ChannelDropout(self.drpt)
         self.drop5 = _ChannelDropout(self.drpt)

@@ -121,6 +121,19 @@ def zero_accuracy_counts() -> Dict[str, jnp.ndarray]:
             "count": jnp.asarray(0.0, jnp.float32)}
 
 
+def topk_accuracy(logits: np.ndarray, labels: np.ndarray,
+                  topk=(1,)) -> list:
+    """Top-k accuracies in percent (darts/utils.py:23-35 semantics)."""
+    logits = np.asarray(logits)
+    labels = np.asarray(labels)
+    order = np.argsort(-logits, axis=-1)
+    res = []
+    for k in topk:
+        correct = (order[:, :k] == labels[:, None]).any(axis=1)
+        res.append(100.0 * correct.mean())
+    return res
+
+
 class AvgrageMeter:
     """Running average (darts/utils.py:9-21)."""
 

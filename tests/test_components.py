@@ -1,0 +1,181 @@
+"""Unit tests for smaller components: supernet wiring, serving, plotting,
+resume checkpoints, top-k accuracy, prefetcher."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bmnas_tpu.models.supernet import (
+    FusionNetwork,
+    derive_genotype_from_arch,
+    init_arch_params,
+    inner_num_edges,
+    outer_num_edges,
+)
+
+CFG = dict(steps=2, multiplier=2, num_input_nodes=6, num_keep_edges=2,
+           node_steps=1, node_multiplier=1, C=8, L=4, drpt=0.1)
+
+
+def features(b=2):
+    rng = np.random.RandomState(0)
+    return [jnp.asarray(rng.randn(b, CFG["L"], CFG["C"]).astype(np.float32))
+            for _ in range(CFG["num_input_nodes"])]
+
+
+class TestSupernet:
+    def test_arch_shapes(self):
+        arch = init_arch_params(jax.random.PRNGKey(0), CFG["steps"],
+                                CFG["num_input_nodes"], CFG["node_steps"])
+        assert arch["alphas"].shape == (outer_num_edges(2, 6), 2)
+        assert arch["betas"].shape == (2, inner_num_edges(1), 2)
+        assert arch["gammas"].shape == (2, 1, 4)
+        # init scale 1e-3 (model_search.py:102)
+        assert float(jnp.abs(arch["alphas"]).max()) < 0.01
+
+    def test_forward_shape_and_determinism(self):
+        net = FusionNetwork(**CFG)
+        arch = init_arch_params(jax.random.PRNGKey(0), CFG["steps"],
+                                CFG["num_input_nodes"], CFG["node_steps"])
+        feats = features()
+        v = net.init({"params": jax.random.PRNGKey(1),
+                      "dropout": jax.random.PRNGKey(2)}, feats, arch, True)
+        out1 = net.apply(v, feats, arch, False)
+        out2 = net.apply(v, feats, arch, False)
+        assert out1.shape == (2, CFG["C"] * CFG["L"] * CFG["multiplier"])
+        np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+
+    def test_genotype_consistency(self):
+        arch = init_arch_params(jax.random.PRNGKey(3), CFG["steps"],
+                                CFG["num_input_nodes"], CFG["node_steps"])
+        g = derive_genotype_from_arch(arch, CFG["steps"], CFG["multiplier"],
+                                      CFG["num_input_nodes"],
+                                      CFG["node_steps"],
+                                      CFG["node_multiplier"])
+        assert len(g.edges) == CFG["steps"] * CFG["num_keep_edges"]
+        assert all(op == "skip" for op, _ in g.edges)  # PRIMITIVES={none,skip}
+        assert g.concat == [6, 7]
+
+
+class TestServing:
+    def test_predict_matches_apply(self, tmp_path):
+        from bmnas_tpu.genotype import Genotype, StepGenotype
+        from bmnas_tpu.models.mmimdb import FoundImageTextNet
+        from bmnas_tpu.serving import FoundNetServer, load_server
+        from bmnas_tpu.utils.checkpoint import save_model
+
+        g = Genotype(
+            edges=[("skip", 0), ("skip", 4), ("skip", 1), ("skip", 5)],
+            concat=[6, 7],
+            steps=[StepGenotype([("skip", 0), ("skip", 1)], ["Sum"], [2]),
+                   StepGenotype([("skip", 0), ("skip", 1)], ["LinearGLU"], [2])],
+        )
+        cfg = dict(C=8, L=4, steps=2, multiplier=2, node_steps=1,
+                   node_multiplier=1, num_input_nodes=6, num_keep_edges=2,
+                   num_outputs=5, drpt=0.1)
+        model = FoundImageTextNet.from_genotype(g, **cfg)
+        rng = np.random.RandomState(0)
+        batch = {
+            "image": jnp.asarray(rng.randn(4, 32, 32, 3).astype(np.float32)),
+            "text": jnp.asarray(rng.randn(4, 300).astype(np.float32)),
+            "label": jnp.asarray(np.zeros((4, 5), np.float32)),
+            "mask": jnp.asarray([1, 1, 1, 0], jnp.float32),
+        }
+        v = model.init({"params": jax.random.PRNGKey(0),
+                        "dropout": jax.random.PRNGKey(1)}, batch, None, True)
+        server = FoundNetServer(model, v["params"], v["batch_stats"])
+        out = server.predict(batch)
+        assert out.shape == (3, 5)  # mask drops the padded row
+        want = np.asarray(model.apply(
+            {"params": v["params"], "batch_stats": v["batch_stats"]},
+            batch, None, False))[:3]
+        np.testing.assert_allclose(out, want, rtol=1e-6)
+
+        # snapshot round trip
+        p = str(tmp_path / "best_model.pt")
+        save_model(p, v["params"], v["batch_stats"])
+        server2 = load_server(p, model)
+        np.testing.assert_allclose(server2.predict(batch), want, rtol=1e-6)
+
+
+class TestPlot:
+    def test_writes_artifact(self, tmp_path):
+        from bmnas_tpu.genotype import Genotype, StepGenotype
+        from bmnas_tpu.visualize import plot_genotype
+        g = Genotype(
+            edges=[("skip", 0), ("skip", 4), ("skip", 1), ("skip", 5)],
+            concat=[6, 7],
+            steps=[StepGenotype([("skip", 0), ("skip", 1)], ["Sum"], [2]),
+                   StepGenotype([("skip", 0), ("skip", 1)], ["ConcatFC"], [2])],
+        )
+        out = str(tmp_path / "epoch_0")
+        plot_genotype(g, out, task="mmimdb", num_input_nodes=6,
+                      num_keep_edges=2, node_steps=1, node_multiplier=1)
+        assert (os.path.exists(out + ".pdf") or os.path.exists(out + ".dot")
+                or os.path.exists(out))
+
+    def test_plot_cli(self, tmp_path):
+        from bmnas_tpu.cli.plot import main
+        from bmnas_tpu.genotype import Genotype, StepGenotype, save_genotype
+        g = Genotype(
+            edges=[("skip", 0), ("skip", 4), ("skip", 1), ("skip", 5)],
+            concat=[6, 7],
+            steps=[StepGenotype([("skip", 0), ("skip", 1)], ["Sum"], [2]),
+                   StepGenotype([("skip", 0), ("skip", 1)], ["Sum"], [2])],
+        )
+        p = str(tmp_path / "g.pkl")
+        save_genotype(g, p)
+        main([p, str(tmp_path / "viz"), "--task", "mmimdb"])
+
+
+class TestResume:
+    def test_state_round_trip(self, tmp_path):
+        import optax
+        from bmnas_tpu.search.bilevel import TrainState, torch_adam
+        from bmnas_tpu.utils.checkpoint import restore_state, save_state
+        params = {"w": jnp.arange(4, dtype=jnp.float32)}
+        tx = torch_adam()
+        state = TrainState(params=params, batch_stats={}, arch=None,
+                           opt_w=tx.init(params), opt_arch=None,
+                           rng=jax.random.PRNGKey(0),
+                           step=jnp.asarray(7, jnp.int32))
+        p = str(tmp_path / "ckpt.msgpack")
+        save_state(p, state, extra={"epoch": 3, "scheduler": {"Ti": 2.0}})
+        restored, extra = restore_state(p, state)
+        assert extra["epoch"] == 3
+        np.testing.assert_array_equal(np.asarray(restored.params["w"]),
+                                      np.asarray(params["w"]))
+        assert int(restored.step) == 7
+
+
+class TestTopK:
+    def test_matches_manual(self):
+        from bmnas_tpu.utils.metrics import topk_accuracy
+        logits = np.asarray([[0.1, 0.9, 0.0], [0.8, 0.1, 0.1],
+                             [0.2, 0.3, 0.5]])
+        labels = np.asarray([1, 2, 1])
+        top1, top2 = topk_accuracy(logits, labels, topk=(1, 2))
+        assert top1 == pytest.approx(100.0 / 3)
+        assert top2 == pytest.approx(200.0 / 3)
+
+
+class TestPrefetch:
+    def test_order_and_completion(self):
+        from bmnas_tpu.data.prefetch import device_prefetch
+        batches = [{"x": np.full((2,), i, np.float32)} for i in range(5)]
+        out = list(device_prefetch(iter(batches), size=2))
+        assert len(out) == 5
+        for i, b in enumerate(out):
+            assert float(b["x"][0]) == i
+
+    def test_error_propagates(self):
+        from bmnas_tpu.data.prefetch import device_prefetch
+
+        def gen():
+            yield {"x": np.zeros(2, np.float32)}
+            raise RuntimeError("loader boom")
+
+        with pytest.raises(RuntimeError, match="loader boom"):
+            list(device_prefetch(gen(), size=2))

@@ -8,12 +8,17 @@ workload scale (batch 8, C=192, L=16, VGG-19 image backbone, 160x256 images
 full 30-epoch search (1944 weight batches + 326 arch batches per epoch), and
 reports samples/sec.
 
+Both the default fp32 path and the --bf16_backbone path are measured; the
+faster one (empirically fp32 — at batch 8 the step is dispatch-bound, not
+FLOP-bound, and XLA's f32 convs already run near MXU speed on v5e) is the
+headline, the other goes into the detail dict.
+
 vs_baseline compares against the north-star rate: full search in <= 1 hour
 (BASELINE.md), i.e. 30*(15552+2608)/3600 = 151.3 samples/s for the whole
 accelerator. A single v5e chip hitting >= ~0.125 of that is on target for an
 8-chip slice (DP scales linearly here; the model is tiny vs. ICI).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "detail"}.
 """
 import json
 import time
@@ -28,7 +33,17 @@ EPOCHS = 30
 TARGET_SECONDS = 3600.0
 
 
-def main():
+def make_batch(seed):
+    rr = np.random.RandomState(seed)
+    return {
+        "image": jnp.asarray(rr.randn(BATCH, 160, 256, 3).astype(np.float32)),
+        "text": jnp.asarray(rr.randn(BATCH, 300).astype(np.float32)),
+        "label": jnp.asarray((rr.rand(BATCH, 23) < 0.2).astype(np.float32)),
+        "mask": jnp.ones((BATCH,), jnp.float32),
+    }
+
+
+def measure(backbone_dtype):
     from bmnas_tpu.models.mmimdb import (
         MMIMDB_FROZEN_PREFIXES,
         SearchableImageTextNet,
@@ -47,18 +62,7 @@ def main():
     cfg = dict(C=192, L=16, steps=2, multiplier=2, node_steps=1,
                node_multiplier=1, num_input_nodes=6, num_keep_edges=2,
                num_outputs=23, drpt=0.1)
-    r = np.random.RandomState(0)
-
-    def make_batch(seed):
-        rr = np.random.RandomState(seed)
-        return {
-            "image": jnp.asarray(rr.randn(BATCH, 160, 256, 3).astype(np.float32)),
-            "text": jnp.asarray(rr.randn(BATCH, 300).astype(np.float32)),
-            "label": jnp.asarray((rr.rand(BATCH, 23) < 0.2).astype(np.float32)),
-            "mask": jnp.ones((BATCH,), jnp.float32),
-        }
-
-    model = SearchableImageTextNet(**cfg)
+    model = SearchableImageTextNet(backbone_dtype=backbone_dtype, **cfg)
     arch = init_arch_params(jax.random.PRNGKey(1), cfg["steps"],
                             cfg["num_input_nodes"], cfg["node_steps"])
     batch = make_batch(0)
@@ -89,7 +93,6 @@ def main():
     eta = np.float32(1e-3)
     batches = [make_batch(i) for i in range(4)]
 
-    # warmup (compile both steps)
     for i in range(3):
         state, c = fns.weight_step(state, batches[i % 4], eta)
     jax.block_until_ready(c["loss_sum"])
@@ -98,32 +101,44 @@ def main():
     jax.block_until_ready(c["loss_sum"])
 
     def timeit(fn_call, iters=20):
-        t0 = time.perf_counter()
-        nonlocal_state = None
         s = state
+        t0 = time.perf_counter()
         for i in range(iters):
             s, c = fn_call(s, batches[i % 4])
         jax.block_until_ready(c["loss_sum"])
-        return (time.perf_counter() - t0) / iters, s
+        return (time.perf_counter() - t0) / iters
 
-    t_w, _s = timeit(lambda s, b: fns.weight_step(s, b, eta))
-    t_a, _s = timeit(lambda s, b: fns.arch_step(s, b))
+    t_w = timeit(lambda s, b: fns.weight_step(s, b, eta))
+    t_a = timeit(lambda s, b: fns.arch_step(s, b))
+    return t_w, t_a
 
+
+def project(t_w, t_a):
     w_batches = -(-TRAIN_N // BATCH)
     a_batches = -(-DEV_N // BATCH)
     epoch_time = w_batches * t_w + a_batches * t_a
-    samples_per_sec = (TRAIN_N + DEV_N) / epoch_time
-    search_time = EPOCHS * epoch_time
+    return (TRAIN_N + DEV_N) / epoch_time, EPOCHS * epoch_time
+
+
+def main():
+    t_w32, t_a32 = measure(jnp.float32)
+    sps32, search32 = project(t_w32, t_a32)
+    t_w16, t_a16 = measure(jnp.bfloat16)
+    sps16, search16 = project(t_w16, t_a16)
     required_rate = EPOCHS * (TRAIN_N + DEV_N) / TARGET_SECONDS
+    best = max(sps32, sps16)
     print(json.dumps({
         "metric": "mmimdb_search_throughput",
-        "value": round(samples_per_sec, 2),
+        "value": round(best, 2),
         "unit": "samples/s",
-        "vs_baseline": round(samples_per_sec / required_rate, 4),
+        "vs_baseline": round(best / required_rate, 4),
         "detail": {
-            "weight_step_ms": round(t_w * 1e3, 2),
-            "arch_step_ms": round(t_a * 1e3, 2),
-            "projected_search_minutes": round(search_time / 60.0, 1),
+            "fp32_samples_per_sec": round(sps32, 2),
+            "fp32_weight_step_ms": round(t_w32 * 1e3, 2),
+            "fp32_arch_step_ms": round(t_a32 * 1e3, 2),
+            "fp32_projected_search_minutes": round(search32 / 60.0, 1),
+            "bf16_samples_per_sec": round(sps16, 2),
+            "bf16_projected_search_minutes": round(search16 / 60.0, 1),
             "device": str(jax.devices()[0]),
         },
     }))

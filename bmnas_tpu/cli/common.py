@@ -70,6 +70,9 @@ def add_common_flags(parser: argparse.ArgumentParser, *, datadir_default: str,
                         help='path to a checkpoint.msgpack to resume from')
     parser.add_argument('--profile_dir', type=str, default=None,
                         help='capture a jax.profiler trace into this dir')
+    parser.add_argument('--bf16_backbone', action='store_true', default=False,
+                        help='run the frozen image backbone in bfloat16 '
+                             '(MXU-native; fusion path stays fp32)')
 
 
 def model_kwargs_from_args(args) -> dict:

@@ -147,7 +147,10 @@ def run_search(args, logger):
     datasets, dataset_sizes, loaders, batchsize = _setup_data(args, parallel_ctx)
     nbpe = dataset_sizes["train"] / args.batchsize
 
-    model = SearchableImageTextNet(**model_kwargs_from_args(args))
+    import jax.numpy as _jnp
+    bdt = _jnp.bfloat16 if getattr(args, 'bf16_backbone', False) else _jnp.float32
+    model = SearchableImageTextNet(backbone_dtype=bdt,
+                                   **model_kwargs_from_args(args))
     arch = init_arch_params(jax.random.PRNGKey(args.seed + 1), args.steps,
                             args.num_input_nodes, args.node_steps)
     batch = _first_batch(datasets, batchsize)
@@ -187,7 +190,9 @@ def run_found(args, logger, genotype, test_model_path=None):
     datasets, dataset_sizes, loaders, batchsize = _setup_data(args, parallel_ctx)
     nbpe = dataset_sizes["train"] / args.batchsize
 
-    model = FoundImageTextNet.from_genotype(genotype,
+    import jax.numpy as _jnp
+    bdt = _jnp.bfloat16 if getattr(args, 'bf16_backbone', False) else _jnp.float32
+    model = FoundImageTextNet.from_genotype(genotype, backbone_dtype=bdt,
                                             **model_kwargs_from_args(args))
     batch = _first_batch(datasets, batchsize)
     # eval-phase optimizer covers ALL params incl. backbones, Adam(eta_max,

@@ -13,7 +13,7 @@ scratch also works (the reference never trains the backbones anyway:
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Any, Sequence, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -35,27 +35,36 @@ MMIMDB_C_INS = (512, 512, 512, 512, 64, 128)
 
 
 class GPVGG(nn.Module):
-    """VGG-19 feature stack with 4 intermediate taps + classifier head."""
+    """VGG-19 feature stack with 4 intermediate taps + classifier head.
+
+    ``dtype=jnp.bfloat16`` runs the conv stack in bf16 on the MXU (params
+    stay fp32; taps are cast back to fp32 before the fusion path). The
+    backbone is frozen during search, so bf16 here changes only the feature
+    values (~1e-2 rel), not training stability.
+    """
     num_outputs: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> Tuple[jnp.ndarray, ...]:
         taps = []
         idx = 0
         conv_i = 0
+        x = x.astype(self.dtype)
         for v in VGG19_CFG:
             if v == "M":
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
                 if idx in VGG19_TAPS:
-                    taps.append(x)
+                    taps.append(x.astype(jnp.float32))
                 idx += 1
             else:
-                x = nn.Conv(v, (3, 3), padding=1, name=f"conv_{conv_i}")(x)
+                x = nn.Conv(v, (3, 3), padding=1, dtype=self.dtype,
+                            name=f"conv_{conv_i}")(x)
                 conv_i += 1
                 idx += 1  # conv module
                 x = nn.relu(x)
                 if idx in VGG19_TAPS:
-                    taps.append(x)
+                    taps.append(x.astype(jnp.float32))
                 idx += 1  # relu module
         out_1, out_2, out_3, out_4 = taps
         pooled = GlobalPooling2D()(out_4)
@@ -99,11 +108,13 @@ class SearchableImageTextNet(nn.Module):
     num_keep_edges: int
     num_outputs: int
     drpt: float
+    backbone_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, batch, arch, train: bool):
         text, image = batch["text"], batch["image"]
-        image_feats = GPVGG(self.num_outputs, name="imagenet")(image, train)
+        image_feats = GPVGG(self.num_outputs, dtype=self.backbone_dtype,
+                            name="imagenet")(image, train)
         text_feats = MaxOutMLP(self.num_outputs, name="textnet")(text, train)
         feats = list(image_feats[0:-1]) + list(text_feats[0:-1])
         reshaped = [
@@ -139,6 +150,7 @@ class FoundImageTextNet(nn.Module):
     num_outputs: int
     drpt: float
     genotype: Tuple  # frozen; build with from_genotype()
+    backbone_dtype: Any = jnp.float32
 
     @classmethod
     def from_genotype(cls, genotype: G.Genotype, **kwargs) -> "FoundImageTextNet":
@@ -154,7 +166,8 @@ class FoundImageTextNet(nn.Module):
         # ``arch`` is ignored (kept for a uniform apply signature).
         del arch
         text, image = batch["text"], batch["image"]
-        image_feats = GPVGG(self.num_outputs, name="imagenet")(image, train)
+        image_feats = GPVGG(self.num_outputs, dtype=self.backbone_dtype,
+                            name="imagenet")(image, train)
         text_feats = MaxOutMLP(self.num_outputs, name="textnet")(text, train)
         feats = list(image_feats[0:-1]) + list(text_feats[0:-1])
         used = self._referenced_inputs()

@@ -27,7 +27,6 @@ re-splits it, train_searchable/ego.py:63-64 — we split at the data layer).
 from __future__ import annotations
 
 import json
-import math
 import os
 from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, Iterator, List, Tuple

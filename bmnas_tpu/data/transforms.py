@@ -16,7 +16,7 @@ pipeline and are intentionally omitted (README "Intentionally not rebuilt").
 from __future__ import annotations
 
 import random
-from typing import List, Sequence
+from typing import Sequence
 
 import numpy as np
 

@@ -13,7 +13,7 @@ scratch also works (the reference never trains the backbones anyway:
 """
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Any, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp

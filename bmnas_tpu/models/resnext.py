@@ -16,7 +16,6 @@ tensor, consumed identically by the reshape layers).
 """
 from __future__ import annotations
 
-import math
 from typing import Tuple
 
 import flax.linen as nn

@@ -18,7 +18,7 @@ single stacked einsum contraction per step (see ops.fusion_ops.edge_weighted_sum
 """
 from __future__ import annotations
 
-from typing import Any, Dict, List, Sequence
+from typing import Dict, List, Sequence
 
 import flax.linen as nn
 import jax

@@ -6,8 +6,7 @@ be built (no compiler) — callers then use the numpy thread-pool path.
 from __future__ import annotations
 
 import ctypes
-import os
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 

@@ -34,10 +34,8 @@ grid would be needed (SURVEY.md §5.7).
 """
 from __future__ import annotations
 
-import dataclasses
 import functools
 import math
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ test-only CLI mode). Production-oriented additions here:
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -1,0 +1,133 @@
+"""Checkpoint-converter tests against reference-layout state dicts.
+
+Builds synthetic torch state dicts with the reference's key names and shapes
+(central/ntu.py:56-115 for HCN, Visual = cnn.*/classifier.* with
+resnet/bottleneck.py layer structure, ego.py ResNeXt-101), converts them,
+and checks shape-validated loading plus that loaded weights actually reach
+the forward pass.
+"""
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+RNG = np.random.RandomState(0)
+
+
+def t(shape):
+    return torch.from_numpy(RNG.randn(*shape).astype(np.float32))
+
+
+def hcn_state_dict(num_outputs=60):
+    sd = {}
+    def conv(name, o, i, kh, kw):
+        sd[f"{name}.weight"] = t((o, i, kh, kw))
+        sd[f"{name}.bias"] = t((o,))
+    conv("conv1.0", 64, 3, 1, 1)
+    conv("conv2", 32, 64, 3, 1)
+    conv("conv3.0", 32, 25, 3, 3)
+    conv("conv4.0", 64, 32, 3, 3)
+    conv("conv1m.0", 64, 3, 1, 1)
+    conv("conv2m", 32, 64, 3, 1)
+    conv("conv3m.0", 32, 25, 3, 3)
+    conv("conv4m.0", 64, 32, 3, 3)
+    conv("conv5.0", 128, 128, 3, 3)
+    conv("conv6.0", 256, 128, 3, 3)
+    sd["fc7.0.weight"] = t((512, 1024))
+    sd["fc7.0.bias"] = t((512,))
+    sd["fc8.weight"] = t((num_outputs, 512))
+    sd["fc8.bias"] = t((num_outputs,))
+    return sd
+
+
+class TestHCNConverter:
+    def test_load_and_forward_changes(self, tmp_path):
+        from bmnas_tpu.models.hcn import HCN
+        from bmnas_tpu.utils.torch_convert import convert_hcn, load_torch_state_dict
+
+        model = HCN(num_outputs=60, drpt=0.1)
+        x = jnp.asarray(RNG.randn(2, 32, 25, 2, 3).astype(np.float32))
+        v = model.init({"params": jax.random.PRNGKey(0),
+                        "dropout": jax.random.PRNGKey(1)}, x, False)
+        sd = hcn_state_dict()
+        path = str(tmp_path / "ske.checkpoint")
+        torch.save(sd, path)
+        new_params = convert_hcn(load_torch_state_dict(path), v["params"])
+        out0 = model.apply(v, x, False)
+        out1 = model.apply({"params": new_params,
+                            "batch_stats": v.get("batch_stats", {})}, x, False)
+        # loaded weights must change the output but stay finite
+        assert np.isfinite(np.asarray(out1[1])).all()
+        assert not np.allclose(np.asarray(out0[1]), np.asarray(out1[1]))
+        # fc7 conversion used the flatten permutation: kernel shape (1024, 512)
+        assert new_params["fc7"]["kernel"].shape == (1024, 512)
+
+    def test_shape_mismatch_raises(self, tmp_path):
+        from bmnas_tpu.models.hcn import HCN
+        from bmnas_tpu.utils.torch_convert import convert_hcn
+        model = HCN(num_outputs=60, drpt=0.1)
+        x = jnp.asarray(RNG.randn(1, 32, 25, 2, 3).astype(np.float32))
+        v = model.init({"params": jax.random.PRNGKey(0),
+                        "dropout": jax.random.PRNGKey(1)}, x, False)
+        sd = hcn_state_dict()
+        sd["conv2.weight"] = t((99, 64, 3, 1))  # wrong out channels
+        with pytest.raises(AssertionError):
+            convert_hcn({k: v_.numpy() for k, v_ in sd.items()}, v["params"])
+
+
+def visual_state_dict(num_outputs=60):
+    sd = {}
+    def bn(name, c):
+        sd[f"{name}.weight"] = t((c,))
+        sd[f"{name}.bias"] = t((c,))
+        sd[f"{name}.running_mean"] = t((c,))
+        sd[f"{name}.running_var"] = torch.abs(t((c,))) + 0.5
+    sd["cnn.conv1.weight"] = t((64, 3, 7, 7))
+    bn("cnn.bn1", 64)
+    layers = [3, 4, 6, 3]
+    channels = [64, 128, 256, 512]
+    inplanes = 64
+    for stage, (planes, blocks) in enumerate(zip(channels, layers), start=1):
+        for b in range(blocks):
+            pre = f"cnn.layer{stage}.{b}"
+            sd[f"{pre}.conv1.weight"] = t((planes, inplanes, 1, 1, 1))
+            bn(f"{pre}.bn1", planes)
+            sd[f"{pre}.conv2.weight"] = t((planes, planes, 3, 3, 3))
+            bn(f"{pre}.bn2", planes)
+            sd[f"{pre}.conv3.weight"] = t((planes * 4, planes, 1, 1, 1))
+            bn(f"{pre}.bn3", planes * 4)
+            if b == 0 and (stage > 1 or inplanes != planes * 4):
+                sd[f"{pre}.downsample.0.weight"] = t((planes * 4, inplanes, 1, 1, 1))
+                bn(f"{pre}.downsample.1", planes * 4)
+            inplanes = planes * 4
+    sd["classifier.weight"] = t((num_outputs, 2048))
+    sd["classifier.bias"] = t((num_outputs,))
+    return sd
+
+
+class TestVisualConverter:
+    def test_load_and_forward(self, tmp_path):
+        from bmnas_tpu.models.ntu import Visual
+        from bmnas_tpu.utils.torch_convert import convert_visual
+
+        model = Visual(num_outputs=60)
+        x = jnp.asarray(RNG.randn(1, 2, 32, 32, 3).astype(np.float32))
+        v = model.init({"params": jax.random.PRNGKey(0)}, x, False)
+        sd = {k: v_.numpy() for k, v_ in visual_state_dict().items()}
+        params, stats = convert_visual(sd, v["params"], v["batch_stats"])
+        # forward executes with the converted tree (random unscaled weights
+        # overflow through 50 layers, so finiteness is not asserted here —
+        # real checkpoints are trained weights)
+        model.apply({"params": params, "batch_stats": stats}, x, False)
+        # kernel layout: torch (O,I,D,H,W) -> flax (D,H,W,I,O)
+        np.testing.assert_allclose(
+            np.asarray(params["cnn"]["layer1_0"]["conv2"]["kernel"]),
+            sd["cnn.layer1.0.conv2.weight"].transpose(2, 3, 4, 1, 0))
+        # BN running stats actually landed in batch_stats
+        got_mean = np.asarray(
+            stats["cnn"]["bn1"]["BatchNorm_0"]["mean"])
+        np.testing.assert_allclose(got_mean, sd["cnn.bn1.running_mean"])
+        # downsample branches mapped
+        assert "downsample_conv" in params["cnn"]["layer2_0"]

@@ -56,3 +56,27 @@ def restore_state(path: str, state_template: Any):
         payload = fser.msgpack_restore(f.read())
     state = fser.from_state_dict(state_template, payload["state"])
     return state, payload["extra"]
+
+
+# ---------------------------------------------------------------------------
+# Orbax backend (optional): async, sharded, multi-host-capable checkpoints.
+# The msgpack path above is the default (single atomic file, matches the
+# reference's one-file-per-exp layout); use these for large multi-host runs.
+# ---------------------------------------------------------------------------
+
+def save_state_orbax(path: str, state: Any,
+                     extra: Optional[Dict[str, Any]] = None) -> None:
+    import orbax.checkpoint as ocp
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(os.path.abspath(path),
+                   {"state": fser.to_state_dict(_to_host(state)),
+                    "extra": extra or {}},
+                   force=True)
+
+
+def restore_state_orbax(path: str, state_template: Any):
+    import orbax.checkpoint as ocp
+    with ocp.PyTreeCheckpointer() as ckptr:
+        payload = ckptr.restore(os.path.abspath(path))
+    state = fser.from_state_dict(state_template, payload["state"])
+    return state, payload["extra"]

@@ -17,14 +17,20 @@ Inference-mode semantics: BatchNorms are FOLDED into the dense weights
 serving path. Training keeps the jnp composite (XLA already fuses the
 elementwise tails there, and train-mode BN needs cross-batch reductions).
 
-Measured on TPU v5e (B=96, L=16, C=192, fp32, dispatch amortized inside one
-jit): fused kernel 34 us/op vs XLA composite 25 us/op. At the reference's
-tiny L the op is GEMM-roofline-bound and XLA's batched-GEMM handling already
-wins — the block-diagonal attention trick pays 64x redundant score FLOPs per
-tile. The kernel is therefore NOT the default; it is kept as the scaling
-path: for L >= 128 (longer fusion sequences) the (R, R) score tile equals
-one sample, the redundancy vanishes, and the single-VMEM-residency fusion
-dominates. Select with ``use_pallas=True`` in bmnas_tpu.serving.
+Measured on TPU v5e (fp32, dispatch amortized inside one jit):
+  * B=96, L=16, C=192:  fused 34 us/op  vs XLA composite 25 us/op
+  * B=32, L=128, C=192: fused 100 us/op vs XLA composite 80 us/op (tile_b=1,
+    no masked-score redundancy)
+XLA wins at both scales: the op is GEMM-bound, XLA lowers the composite to a
+single giant batched GEMM per dense branch ((B*L, 2C) rows at once) while
+the kernel is limited to per-tile GEMMs, and the HBM round trips the kernel
+saves (~1.5 us per (B,L,C) tensor at these sizes) are smaller than the GEMM
+efficiency gap. Verdict recorded honestly: the kernel is NOT used by
+default anywhere; it remains (a) a correctness-tested demonstration of the
+Pallas path, and (b) the starting point for a whole-FoundNodeCell fusion
+(edge ops + mixed op + residual + LayerNorm in one kernel), which is where
+fusion can beat XLA because the train-mode BN boundary blocks XLA from
+fusing across those ops.
 
 Shapes: x, y (B, L, C); one grid program per batch row; block (L, C) and the
 (2C, 2C) weights sit in VMEM (L<=16, C<=192 in all reference configs ->

@@ -82,3 +82,86 @@ def model_kwargs_from_args(args) -> dict:
                 num_input_nodes=args.num_input_nodes,
                 num_keep_edges=args.num_keep_edges,
                 num_outputs=args.num_outputs, drpt=args.drpt)
+
+
+# ---------------------------------------------------------------------------
+# Shared trainer plumbing (used by all three task CLIs).
+# ---------------------------------------------------------------------------
+
+def maybe_parallel(args):
+    """--parallel => 1-D data mesh over all devices (GSPMD DataParallel)."""
+    import jax
+
+    from bmnas_tpu.parallel.mesh import make_parallel_context
+    if getattr(args, "parallel", False) and len(jax.devices()) > 1:
+        return make_parallel_context()
+    return None
+
+
+def make_apply(model):
+    def apply_fn(variables, batch, arch, train, rngs, mutable):
+        if mutable:
+            return model.apply(variables, batch, arch, train,
+                               rngs=rngs, mutable=mutable)
+        return model.apply(variables, batch, arch, train)
+    return apply_fn
+
+
+def init_train_state(model, arch, batch, args, frozen_prefixes):
+    """Init variables + optimizers + TrainState for a task model.
+
+    Weight optimizer masks 'frozen' prefixes (the per-task central_params
+    contract); arch optimizer built only when arch params exist (search)."""
+    import jax
+    import jax.numpy as jnp
+
+    from bmnas_tpu.search.bilevel import (
+        TrainState,
+        make_arch_optimizer,
+        make_param_labels,
+        make_weight_optimizer,
+    )
+
+    rng = jax.random.PRNGKey(args.seed)
+    k_init, k_drop, k_state = jax.random.split(rng, 3)
+    variables = model.init({"params": k_init, "dropout": k_drop},
+                           batch, arch, True)
+    labels = make_param_labels(variables["params"], frozen_prefixes)
+    w_tx = make_weight_optimizer(labels, weight_decay=args.weight_decay)
+    arch_tx = (make_arch_optimizer(args.arch_learning_rate,
+                                   args.arch_weight_decay)
+               if arch is not None else None)
+    state = TrainState(
+        params=variables["params"], batch_stats=variables["batch_stats"],
+        arch=arch, opt_w=w_tx.init(variables["params"]),
+        opt_arch=arch_tx.init(arch) if arch_tx is not None else None,
+        rng=k_state, step=jnp.asarray(0, jnp.int32))
+    return state, w_tx, arch_tx
+
+
+def apply_resume(state, scheduler, args, logger):
+    """--resume <checkpoint.msgpack>: restore full train state + scheduler."""
+    if getattr(args, "resume", None):
+        from bmnas_tpu.utils import checkpoint as ckpt
+        state, extra = ckpt.restore_state(args.resume, state)
+        scheduler.load_state(extra["scheduler"])
+        logger.info("Resumed from %s at epoch %s", args.resume, extra["epoch"])
+    return state
+
+
+def run_test_only(fns, state, loader, snapshot_path):
+    """Test-only mode: load a best_*_model.pt snapshot, run one eval pass,
+    return the summed counts dict (host numpy)."""
+    import jax
+    import numpy as np
+
+    from bmnas_tpu.utils import checkpoint as ckpt
+    snap = ckpt.load_model(snapshot_path)
+    state = state.replace(params=snap["params"],
+                          batch_stats=snap["batch_stats"])
+    counts_total = None
+    for b in loader(0):
+        c = fns.eval_step(state, b)
+        counts_total = c if counts_total is None else jax.tree_util.tree_map(
+            lambda a, x: a + x, counts_total, c)
+    return {k: np.asarray(v) for k, v in counts_total.items()}

@@ -17,7 +17,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from bmnas_tpu.cli.common import model_kwargs_from_args
+from bmnas_tpu.cli.common import (
+    apply_resume,
+    init_train_state,
+    make_apply,
+    maybe_parallel,
+    model_kwargs_from_args,
+    run_test_only,
+)
 from bmnas_tpu.data.ego import EgoDataset
 from bmnas_tpu.data.prefetch import device_prefetch
 from bmnas_tpu.genotype import load_genotype
@@ -27,7 +34,7 @@ from bmnas_tpu.models.ego import (
     SearchableRGBDepthNet,
 )
 from bmnas_tpu.models.supernet import derive_genotype_from_arch, init_arch_params
-from bmnas_tpu.parallel.mesh import make_parallel_context, pad_batch_to_multiple
+from bmnas_tpu.parallel.mesh import pad_batch_to_multiple
 from bmnas_tpu.search import loop as train_loop
 from bmnas_tpu.search.bilevel import (
     TrainState,
@@ -156,36 +163,12 @@ def _maybe_load_backbones(state, args, logger):
     return state.replace(params=params, batch_stats=stats)
 
 
-def _init_state(model, arch, batch, args, frozen_prefixes):
-    rng = jax.random.PRNGKey(args.seed)
-    k_init, k_drop, k_state = jax.random.split(rng, 3)
-    variables = model.init({"params": k_init, "dropout": k_drop},
-                           batch, arch, True)
-    labels = make_param_labels(variables["params"], frozen_prefixes)
-    w_tx = make_weight_optimizer(labels, weight_decay=args.weight_decay)
-    arch_tx = (make_arch_optimizer(args.arch_learning_rate,
-                                   args.arch_weight_decay)
-               if arch is not None else None)
-    state = TrainState(
-        params=variables["params"], batch_stats=variables["batch_stats"],
-        arch=arch, opt_w=w_tx.init(variables["params"]),
-        opt_arch=arch_tx.init(arch) if arch_tx is not None else None,
-        rng=k_state, step=jnp.asarray(0, jnp.int32))
-    return state, w_tx, arch_tx
 
 
-def _make_apply(model):
-    def apply_fn(variables, batch, arch, train, rngs, mutable):
-        if mutable:
-            return model.apply(variables, batch, arch, train,
-                               rngs=rngs, mutable=mutable)
-        return model.apply(variables, batch, arch, train)
-    return apply_fn
 
 
 def run_search(args, logger):
-    parallel_ctx = (make_parallel_context()
-                    if args.parallel and len(jax.devices()) > 1 else None)
+    parallel_ctx = maybe_parallel(args)
     stages = {"train": "training", "dev": "validation", "test": "testing"}
     datasets, dataset_sizes, loaders, batchsize = _setup_data(
         args, parallel_ctx, stages)
@@ -195,12 +178,12 @@ def run_search(args, logger):
     arch = init_arch_params(jax.random.PRNGKey(args.seed + 1), args.steps,
                             args.num_input_nodes, args.node_steps)
     batch = next(iter(datasets["train"].batches(batchsize, shuffle=False)))
-    state, w_tx, arch_tx = _init_state(model, arch, batch, args,
+    state, w_tx, arch_tx = init_train_state(model, arch, batch, args,
                                        EGO_FROZEN_PREFIXES)
     state = _maybe_load_backbones(state, args, logger)
     if parallel_ctx is not None:
         state = parallel_ctx.replicate(state)
-    fns = build_step_functions(_make_apply(model), cross_entropy, counts_fn,
+    fns = build_step_functions(make_apply(model), cross_entropy, counts_fn,
                                w_tx, arch_tx)
     scheduler = LRCosineAnnealingScheduler(args.eta_max, args.eta_min,
                                            args.Ti, args.Tm, nbpe)
@@ -210,10 +193,7 @@ def run_search(args, logger):
             st.arch, args.steps, args.multiplier, args.num_input_nodes,
             args.node_steps, args.node_multiplier)
 
-    if args.resume:
-        state, extra = ckpt.restore_state(args.resume, state)
-        scheduler.load_state(extra["scheduler"])
-        logger.info("Resumed from %s at epoch %s", args.resume, extra["epoch"])
+    state = apply_resume(state, scheduler, args, logger)
 
     best_acc, best_genotype, state = train_loop.run_training(
         task="ego", status="search", fns=fns, state=state,
@@ -225,8 +205,7 @@ def run_search(args, logger):
 
 
 def run_found(args, logger, genotype, test_model_path=None):
-    parallel_ctx = (make_parallel_context()
-                    if args.parallel and len(jax.devices()) > 1 else None)
+    parallel_ctx = maybe_parallel(args)
     stages = {"train": "train_dev", "test": "testing"}
     datasets, dataset_sizes, loaders, batchsize = _setup_data(
         args, parallel_ctx, stages)
@@ -237,35 +216,25 @@ def run_found(args, logger, genotype, test_model_path=None):
     batch = next(iter(datasets["train"].batches(batchsize, shuffle=False)))
     # found ego keeps backbones frozen (requires_grad=False,
     # ego_darts_searchable.py:194-198)
-    state, w_tx, _ = _init_state(model, None, batch, args,
+    state, w_tx, _ = init_train_state(model, None, batch, args,
                                  EGO_FROZEN_PREFIXES)
     state = _maybe_load_backbones(state, args, logger)
     if parallel_ctx is not None:
         state = parallel_ctx.replicate(state)
-    fns = build_step_functions(_make_apply(model), cross_entropy, counts_fn,
+    fns = build_step_functions(make_apply(model), cross_entropy, counts_fn,
                                w_tx, None)
     scheduler = LRCosineAnnealingScheduler(args.eta_max, args.eta_min,
                                            args.Ti, args.Tm, nbpe)
 
     if test_model_path is not None:
-        snap = ckpt.load_model(test_model_path)
-        state = state.replace(params=snap["params"],
-                              batch_stats=snap["batch_stats"])
-        counts_total = None
-        for b in loaders["test"](0):
-            c = fns.eval_step(state, b)
-            counts_total = c if counts_total is None else \
-                jax.tree_util.tree_map(lambda a, x: a + x, counts_total, c)
-        acc = float(np.asarray(counts_total["correct"])) / dataset_sizes["test"]
-        loss = float(np.asarray(counts_total["loss_sum"])) / dataset_sizes["test"]
+        host = run_test_only(fns, state, loaders["test"], test_model_path)
+        acc = float(host["correct"]) / dataset_sizes["test"]
+        loss = float(host["loss_sum"]) / dataset_sizes["test"]
         logger.info(str(genotype))
         logger.info('test Loss: {:.4f} Acc: {:.4f}'.format(loss, acc))
         return acc
 
-    if args.resume:
-        state, extra = ckpt.restore_state(args.resume, state)
-        scheduler.load_state(extra["scheduler"])
-        logger.info("Resumed from %s at epoch %s", args.resume, extra["epoch"])
+    state = apply_resume(state, scheduler, args, logger)
 
     best_acc, _, state = train_loop.run_training(
         task="ego", status="eval", fns=fns, state=state,

@@ -18,7 +18,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from bmnas_tpu.cli.common import add_common_flags, model_kwargs_from_args
+from bmnas_tpu.cli.common import (
+    add_common_flags,
+    apply_resume,
+    init_train_state,
+    make_apply,
+    maybe_parallel,
+    model_kwargs_from_args,
+    run_test_only,
+)
 from bmnas_tpu.data.mmimdb import MMIMDBDataset
 from bmnas_tpu.data.prefetch import device_prefetch
 from bmnas_tpu.genotype import load_genotype
@@ -28,7 +36,7 @@ from bmnas_tpu.models.mmimdb import (
     SearchableImageTextNet,
 )
 from bmnas_tpu.models.supernet import derive_genotype_from_arch, init_arch_params
-from bmnas_tpu.parallel.mesh import make_parallel_context, pad_batch_to_multiple
+from bmnas_tpu.parallel.mesh import pad_batch_to_multiple
 from bmnas_tpu.search import loop as train_loop
 from bmnas_tpu.search.bilevel import (
     TrainState,
@@ -103,46 +111,15 @@ def _first_batch(datasets, batchsize):
     return next(iter(datasets["train"].batches(batchsize, shuffle=False)))
 
 
-def _maybe_parallel(args):
-    if args.parallel and len(jax.devices()) > 1:
-        return make_parallel_context()
-    return None
 
 
-def _init_state(model, arch, batch, args, frozen_prefixes):
-    rng = jax.random.PRNGKey(args.seed)
-    k_init, k_drop, k_state = jax.random.split(rng, 3)
-    variables = model.init({"params": k_init, "dropout": k_drop},
-                           batch, arch, True)
-    labels = make_param_labels(variables["params"], frozen_prefixes)
-    w_tx = make_weight_optimizer(labels, weight_decay=args.weight_decay)
-    arch_tx = (make_arch_optimizer(args.arch_learning_rate,
-                                   args.arch_weight_decay)
-               if arch is not None else None)
-    state = TrainState(
-        params=variables["params"],
-        batch_stats=variables["batch_stats"],
-        arch=arch,
-        opt_w=w_tx.init(variables["params"]),
-        opt_arch=arch_tx.init(arch) if arch_tx is not None else None,
-        rng=k_state,
-        step=jnp.asarray(0, jnp.int32),
-    )
-    return state, w_tx, arch_tx
 
 
-def _make_apply(model):
-    def apply_fn(variables, batch, arch, train, rngs, mutable):
-        if mutable:
-            return model.apply(variables, batch, arch, train,
-                               rngs=rngs, mutable=mutable)
-        return model.apply(variables, batch, arch, train)
-    return apply_fn
 
 
 def run_search(args, logger):
     """Bilevel search (mmimdb_darts_searchable.py:19-55)."""
-    parallel_ctx = _maybe_parallel(args)
+    parallel_ctx = maybe_parallel(args)
     datasets, dataset_sizes, loaders, batchsize = _setup_data(args, parallel_ctx)
     nbpe = dataset_sizes["train"] / args.batchsize
 
@@ -153,12 +130,12 @@ def run_search(args, logger):
     arch = init_arch_params(jax.random.PRNGKey(args.seed + 1), args.steps,
                             args.num_input_nodes, args.node_steps)
     batch = _first_batch(datasets, batchsize)
-    state, w_tx, arch_tx = _init_state(model, arch, batch, args,
-                                       MMIMDB_FROZEN_PREFIXES)
+    state, w_tx, arch_tx = init_train_state(model, arch, batch, args,
+                                            MMIMDB_FROZEN_PREFIXES)
     if parallel_ctx is not None:
         state = parallel_ctx.replicate(state)
 
-    fns = build_step_functions(_make_apply(model), bce_with_logits, counts_fn,
+    fns = build_step_functions(make_apply(model), bce_with_logits, counts_fn,
                                w_tx, arch_tx)
     scheduler = LRCosineAnnealingScheduler(args.eta_max, args.eta_min,
                                            args.Ti, args.Tm, nbpe)
@@ -168,10 +145,7 @@ def run_search(args, logger):
             st.arch, args.steps, args.multiplier, args.num_input_nodes,
             args.node_steps, args.node_multiplier)
 
-    if args.resume:
-        state, extra = ckpt.restore_state(args.resume, state)
-        scheduler.load_state(extra["scheduler"])
-        logger.info("Resumed from %s at epoch %s", args.resume, extra["epoch"])
+    state = apply_resume(state, scheduler, args, logger)
 
     best_f1, best_genotype, state = train_loop.run_training(
         task="mmimdb", status="search", fns=fns, state=state,
@@ -185,7 +159,7 @@ def run_search(args, logger):
 def run_found(args, logger, genotype, test_model_path=None):
     """Found-net retraining, or test-only when ``test_model_path`` is given
     (main_darts_found_mmimdb.py:96-153)."""
-    parallel_ctx = _maybe_parallel(args)
+    parallel_ctx = maybe_parallel(args)
     datasets, dataset_sizes, loaders, batchsize = _setup_data(args, parallel_ctx)
     nbpe = dataset_sizes["train"] / args.batchsize
 
@@ -196,24 +170,17 @@ def run_found(args, logger, genotype, test_model_path=None):
     batch = _first_batch(datasets, batchsize)
     # eval-phase optimizer covers ALL params incl. backbones, Adam(eta_max,
     # wd=1e-4 hardcoded) (main_darts_found_mmimdb.py:114-121)
-    state, w_tx, _ = _init_state(model, None, batch, args, frozen_prefixes=())
+    state, w_tx, _ = init_train_state(model, None, batch, args,
+                                      frozen_prefixes=())
     if parallel_ctx is not None:
         state = parallel_ctx.replicate(state)
-    fns = build_step_functions(_make_apply(model), bce_with_logits, counts_fn,
+    fns = build_step_functions(make_apply(model), bce_with_logits, counts_fn,
                                w_tx, None)
     scheduler = LRCosineAnnealingScheduler(args.eta_max, args.eta_min,
                                            args.Ti, args.Tm, nbpe)
 
     if test_model_path is not None:
-        snap = ckpt.load_model(test_model_path)
-        state = state.replace(params=snap["params"],
-                              batch_stats=snap["batch_stats"])
-        counts_total = None
-        for b in loaders["test"](0):
-            c = fns.eval_step(state, b)
-            counts_total = c if counts_total is None else jax.tree_util.tree_map(
-                lambda a, x: a + x, counts_total, c)
-        host = {k: np.asarray(v) for k, v in counts_total.items()}
+        host = run_test_only(fns, state, loaders["test"], test_model_path)
         loss = float(host["loss_sum"]) / dataset_sizes["test"]
         f1 = f1_from_counts(host, average=args.f1_type, zero_division=1.0)
         logger.info(str(genotype))
@@ -221,10 +188,7 @@ def run_found(args, logger, genotype, test_model_path=None):
             loss, args.f1_type, f1))
         return f1
 
-    if args.resume:
-        state, extra = ckpt.restore_state(args.resume, state)
-        scheduler.load_state(extra["scheduler"])
-        logger.info("Resumed from %s at epoch %s", args.resume, extra["epoch"])
+    state = apply_resume(state, scheduler, args, logger)
 
     best_f1, _, state = train_loop.run_training(
         task="mmimdb", status="eval", fns=fns, state=state,

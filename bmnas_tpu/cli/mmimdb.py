@@ -47,7 +47,6 @@ from bmnas_tpu.search.bilevel import (
     make_weight_optimizer,
 )
 from bmnas_tpu.search.scheduler import LRCosineAnnealingScheduler
-from bmnas_tpu.utils import checkpoint as ckpt
 from bmnas_tpu.utils.experiment import create_exp_dir, setup_logger
 from bmnas_tpu.utils.metrics import f1_from_counts, multilabel_counts
 from bmnas_tpu.visualize import Plotter

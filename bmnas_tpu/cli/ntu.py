@@ -49,7 +49,6 @@ from bmnas_tpu.search.bilevel import (
     make_weight_optimizer,
 )
 from bmnas_tpu.search.scheduler import LRCosineAnnealingScheduler
-from bmnas_tpu.utils import checkpoint as ckpt
 from bmnas_tpu.utils.experiment import create_exp_dir, setup_logger
 from bmnas_tpu.utils.metrics import accuracy_counts
 from bmnas_tpu.visualize import Plotter
@@ -97,6 +96,10 @@ def _add_ntu_flags(parser, *, search: bool):
                         type=int, nargs='+')
     parser.add_argument('--resume', type=str, default=None)
     parser.add_argument('--profile_dir', type=str, default=None)
+    parser.add_argument('--remat', action='store_true', default=False,
+                        help='rematerialize backbone activations in the '
+                             'backward pass (jax.checkpoint) - for found-'
+                             'phase training at large batch on one chip')
     if not search:
         parser.add_argument('--search_exp_dir', type=str, default=None)
         parser.add_argument('--eval_exp_dir', type=str, default=None)
@@ -209,8 +212,9 @@ def run_found(args, logger, genotype, test_model_path=None):
         args, parallel_ctx, stages)
     nbpe = dataset_sizes["train"] / args.batchsize
 
-    model = FoundSkeletonImageNet.from_genotype(genotype,
-                                                **model_kwargs_from_args(args))
+    model = FoundSkeletonImageNet.from_genotype(
+        genotype, remat=getattr(args, 'remat', False),
+        **model_kwargs_from_args(args))
     batch = next(iter(datasets["train"].batches(batchsize, shuffle=False)))
     # eval optimizer covers the whole net (main_darts_found_ntu.py:122-139)
     state, w_tx, _ = init_train_state(model, None, batch, args, frozen_prefixes=())

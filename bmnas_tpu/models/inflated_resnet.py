@@ -54,9 +54,17 @@ class Bottleneck3D(nn.Module):
 
 
 class InflatedResNet50(nn.Module):
-    """Stem (2D per-frame) + layers [3, 4, 6, 3]; returns 4 stage taps."""
+    """Stem (2D per-frame) + layers [3, 4, 6, 3]; returns 4 stage taps.
+
+    ``remat=True`` rematerializes each bottleneck in the backward pass
+    (jax.checkpoint): found-phase NTU training backprops through this
+    backbone at batch 96 x 8 x 256 x 256 where stored activations would
+    exceed a single chip's HBM — remat trades ~30% extra FLOPs for O(stage)
+    activation memory.
+    """
     layers: Tuple[int, ...] = (3, 4, 6, 3)
     channels: Tuple[int, ...] = (64, 128, 256, 512)
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool):
@@ -70,6 +78,8 @@ class InflatedResNet50(nn.Module):
         h = nn.max_pool(h, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         h = h.reshape(B, T, h.shape[1], h.shape[2], h.shape[3])
 
+        block_cls = (nn.remat(Bottleneck3D, static_argnums=(2,))
+                     if self.remat else Bottleneck3D)
         taps = []
         inplanes = 64
         for stage, (planes, blocks) in enumerate(zip(self.channels, self.layers)):
@@ -77,8 +87,8 @@ class InflatedResNet50(nn.Module):
             for b in range(blocks):
                 s = stride if b == 0 else 1
                 need_ds = b == 0 and (s != 1 or inplanes != planes * 4)
-                h = Bottleneck3D(planes=planes, stride=s, downsample=need_ds,
-                                 name=f"layer{stage+1}_{b}")(h, train)
+                h = block_cls(planes=planes, stride=s, downsample=need_ds,
+                              name=f"layer{stage+1}_{b}")(h, train)
             inplanes = planes * 4
             taps.append(h)
         return tuple(taps)  # fm1 (256c), fm2 (512c), fm3 (1024c), fm4 (2048c)

@@ -43,10 +43,12 @@ class Visual(nn.Module):
     """Inflated ResNet-50 + temporal pooling + classifier
     (central/ntu.py:7-40). Returns (fm1, fm2, fm3, fm4, pooled, logits)."""
     num_outputs: int
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool):
-        fm1, fm2, fm3, fm4 = InflatedResNet50(name="cnn")(x, train)
+        fm1, fm2, fm3, fm4 = InflatedResNet50(remat=self.remat,
+                                              name="cnn")(x, train)
         # avgpool over (T=8, 7, 7) -> (B, 2048) (central/ntu.py:12,16-21)
         pooled = jnp.mean(fm4, axis=(1, 2, 3))
         logits = nn.Dense(self.num_outputs, name="classifier")(pooled)
@@ -71,11 +73,13 @@ class SearchableSkeletonImageNet(nn.Module):
     num_keep_edges: int
     num_outputs: int
     drpt: float
+    remat: bool = False
 
     @nn.compact
     def __call__(self, batch, arch, train: bool):
         image, skeleton = batch["image"], batch["skeleton"]
-        rgb_out = Visual(self.num_outputs, name="rgbnet")(image, train)
+        rgb_out = Visual(self.num_outputs, remat=self.remat,
+                         name="rgbnet")(image, train)
         ske_out = HCN(self.num_outputs, self.drpt, name="skenet")(skeleton, train)
         feats = _ntu_features(rgb_out, ske_out)
         reshaped = [
@@ -106,6 +110,7 @@ class FoundSkeletonImageNet(nn.Module):
     num_outputs: int
     drpt: float
     genotype: Tuple
+    remat: bool = False
 
     @classmethod
     def from_genotype(cls, genotype: G.Genotype, **kwargs):
@@ -119,7 +124,8 @@ class FoundSkeletonImageNet(nn.Module):
     def __call__(self, batch, arch, train: bool):
         del arch
         image, skeleton = batch["image"], batch["skeleton"]
-        rgb_out = Visual(self.num_outputs, name="rgbnet")(image, train)
+        rgb_out = Visual(self.num_outputs, remat=self.remat,
+                         name="rgbnet")(image, train)
         ske_out = HCN(self.num_outputs, self.drpt, name="skenet")(skeleton, train)
         feats = _ntu_features(rgb_out, ske_out)
         used = self._referenced_inputs()

@@ -9,9 +9,8 @@ full 30-epoch search (1944 weight batches + 326 arch batches per epoch), and
 reports samples/sec.
 
 Both the default fp32 path and the --bf16_backbone path are measured; the
-faster one (empirically fp32 — at batch 8 the step is dispatch-bound, not
-FLOP-bound, and XLA's f32 convs already run near MXU speed on v5e) is the
-headline, the other goes into the detail dict.
+faster one (empirically bf16 by ~15% at this scale) is the headline, the
+other goes into the detail dict.
 
 vs_baseline compares against the north-star rate: full search in <= 1 hour
 (BASELINE.md), i.e. 30*(15552+2608)/3600 = 151.3 samples/s for the whole
@@ -93,23 +92,28 @@ def measure(backbone_dtype):
     eta = np.float32(1e-3)
     batches = [make_batch(i) for i in range(4)]
 
-    for i in range(3):
-        state, c = fns.weight_step(state, batches[i % 4], eta)
-    jax.block_until_ready(c["loss_sum"])
-    for i in range(3):
-        state, c = fns.arch_step(state, batches[i % 4])
-    jax.block_until_ready(c["loss_sum"])
-
-    def timeit(fn_call, iters=20):
-        s = state
+    # Timing protocol for this backend (see memory: axon-tpu-env):
+    #   * jax.block_until_ready does NOT synchronize — only a host fetch of
+    #     a SCALAR result flushes the device queue reliably;
+    #   * array fetches cost seconds over the tunnel, so sync exclusively
+    #     on float(counts['loss_sum']);
+    #   * the steps donate their state: thread one continuous chain and
+    #     never reuse a passed-in state.
+    def timeit(fn_call, s, iters=300, warm=20):
+        for i in range(warm):
+            s, c = fn_call(s, batches[i % 4])
+        float(c["loss_sum"])            # drain queue (incl. compile sync)
         t0 = time.perf_counter()
         for i in range(iters):
             s, c = fn_call(s, batches[i % 4])
-        jax.block_until_ready(c["loss_sum"])
-        return (time.perf_counter() - t0) / iters
+        float(c["loss_sum"])
+        # with >=300 steps per chain the tunnel RTT jitter (tens of ms)
+        # amortizes below ~2%; no RTT subtraction needed
+        per = (time.perf_counter() - t0) / iters
+        return per, s
 
-    t_w = timeit(lambda s, b: fns.weight_step(s, b, eta))
-    t_a = timeit(lambda s, b: fns.arch_step(s, b))
+    t_w, state = timeit(lambda s, b: fns.weight_step(s, b, eta), state)
+    t_a, state = timeit(lambda s, b: fns.arch_step(s, b), state)
     return t_w, t_a
 
 

@@ -134,6 +134,20 @@ def run_training(
                     logger.info("{} Loss: {:.4f} Acc: {:.4f}".format(
                         phase, epoch_loss, epoch_metric))
 
+                # machine-readable metrics stream (not in the reference)
+                try:
+                    import json
+                    with open(os.path.join(args.save, "metrics.jsonl"),
+                              "a") as mf:
+                        mf.write(json.dumps({
+                            "epoch": epoch, "phase": phase,
+                            "loss": epoch_loss, "metric": epoch_metric,
+                            "metric_name": ("%s_f1" % f1_type
+                                            if metric == "f1" else "acc"),
+                        }) + "\n")
+                except OSError:
+                    pass
+
                 num_params = sum(
                     count_parameters(v) for k, v in state.params.items()
                     if fusion_param_keys(k))

@@ -15,6 +15,13 @@ they are elementwise/cheap and train-mode-dependent.)
 Padding: L is padded up to the block size; padded KEY columns are masked to
 -inf before the softmax (pad QUERY rows produce garbage rows that the
 wrapper slices off).
+
+Role: MEMORY scaling, not raw speed — at sizes where the dense (Lq, Lk)
+score matrix still fits comfortably (everything the reference ships, and
+well beyond), XLA's dense batched attention is at least as fast (slope-method
+measurement at B=8, L=512, C=192: dense ~17 us/op vs blockwise ~67 us/op on
+v5e through the dev relay). The blockwise kernel is the path that keeps the
+fusion-op contract viable when L grows past VMEM-score-matrix scale.
 """
 from __future__ import annotations
 

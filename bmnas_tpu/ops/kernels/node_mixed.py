@@ -17,20 +17,20 @@ Inference-mode semantics: BatchNorms are FOLDED into the dense weights
 serving path. Training keeps the jnp composite (XLA already fuses the
 elementwise tails there, and train-mode BN needs cross-batch reductions).
 
-Measured on TPU v5e (fp32, dispatch amortized inside one jit):
-  * B=96, L=16, C=192:  fused 34 us/op  vs XLA composite 25 us/op
-  * B=32, L=128, C=192: fused 100 us/op vs XLA composite 80 us/op (tile_b=1,
-    no masked-score redundancy)
-XLA wins at both scales: the op is GEMM-bound, XLA lowers the composite to a
-single giant batched GEMM per dense branch ((B*L, 2C) rows at once) while
-the kernel is limited to per-tile GEMMs, and the HBM round trips the kernel
-saves (~1.5 us per (B,L,C) tensor at these sizes) are smaller than the GEMM
-efficiency gap. Verdict recorded honestly: the kernel is NOT used by
-default anywhere; it remains (a) a correctness-tested demonstration of the
-Pallas path, and (b) the starting point for a whole-FoundNodeCell fusion
-(edge ops + mixed op + residual + LayerNorm in one kernel), which is where
-fusion can beat XLA because the train-mode BN boundary blocks XLA from
-fusing across those ops.
+Measurement verdict (recorded honestly): this op takes single-digit
+microseconds at reference shapes (B=96, L=16, C=192). The development
+environment reaches its TPU through a relay whose dispatch jitter is tens of
+milliseconds and whose ``block_until_ready`` is a no-op, so kernel-vs-XLA
+deltas at this scale are BELOW THE MEASUREMENT FLOOR here: slope-method
+chains (N=40 vs N=400 inside single dispatches) give ~3.6 us/op fused vs
+~7.2 us/op composite, but the deltas (2-3 ms per 360 ops) sit inside relay
+noise. Analytically the op is GEMM-bound and XLA lowers the composite to one
+batched GEMM per dense branch, so the composite remains the DEFAULT
+everywhere; this kernel is (a) a correctness-tested Pallas path (equivalence
+to 1e-7 in fp32), and (b) the base for a whole-FoundNodeCell fusion (edge
+ops + mixed op + residual + LayerNorm in one kernel) where the train-mode BN
+boundary blocks XLA fusion. A definitive ranking needs a direct-attached
+TPU with working profiling.
 
 Shapes: x, y (B, L, C); one grid program per batch row; block (L, C) and the
 (2C, 2C) weights sit in VMEM (L<=16, C<=192 in all reference configs ->

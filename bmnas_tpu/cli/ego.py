@@ -94,6 +94,9 @@ def _add_ego_flags(parser, *, search: bool):
     parser.add_argument('--profile_dir', type=str, default=None)
     if not search:
         parser.add_argument('--search_exp_dir', type=str, default=None)
+        parser.add_argument('--node_variant', type=str, default='bmnas',
+                            choices=['bmnas', 'darts', 'mfas', 'aoa',
+                                     'two_head_attn'])
         parser.add_argument('--eval_exp_dir', type=str, default=None)
 
 
@@ -210,8 +213,9 @@ def run_found(args, logger, genotype, test_model_path=None):
         args, parallel_ctx, stages)
     nbpe = dataset_sizes["train"] / args.batchsize
 
-    model = FoundRGBDepthNet.from_genotype(genotype,
-                                           **model_kwargs_from_args(args))
+    model = FoundRGBDepthNet.from_genotype(
+        genotype, node_variant=getattr(args, 'node_variant', 'bmnas'),
+        **model_kwargs_from_args(args))
     batch = next(iter(datasets["train"].batches(batchsize, shuffle=False)))
     # found ego keeps backbones frozen (requires_grad=False,
     # ego_darts_searchable.py:194-198)

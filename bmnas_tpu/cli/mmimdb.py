@@ -72,6 +72,10 @@ def parse_found_args(argv=None):
     parser.add_argument('--f1_type', type=str, default='weighted')
     parser.add_argument('--search_exp_dir', type=str, default=None,
                         help='evaluate which search exp')
+    parser.add_argument('--node_variant', type=str, default='bmnas',
+                        choices=['bmnas', 'darts', 'mfas', 'aoa',
+                                 'two_head_attn'],
+                        help='fusion-node ablation variant (node.py:94-184)')
     parser.add_argument('--eval_exp_dir', type=str, default=None,
                         help='test which eval exp')
     return parser.parse_args(argv)
@@ -164,8 +168,10 @@ def run_found(args, logger, genotype, test_model_path=None):
 
     import jax.numpy as _jnp
     bdt = _jnp.bfloat16 if getattr(args, 'bf16_backbone', False) else _jnp.float32
-    model = FoundImageTextNet.from_genotype(genotype, backbone_dtype=bdt,
-                                            **model_kwargs_from_args(args))
+    model = FoundImageTextNet.from_genotype(
+        genotype, backbone_dtype=bdt,
+        node_variant=getattr(args, 'node_variant', 'bmnas'),
+        **model_kwargs_from_args(args))
     batch = _first_batch(datasets, batchsize)
     # eval-phase optimizer covers ALL params incl. backbones, Adam(eta_max,
     # wd=1e-4 hardcoded) (main_darts_found_mmimdb.py:114-121)

@@ -75,6 +75,7 @@ class FoundRGBDepthNet(nn.Module):
     num_outputs: int
     drpt: float
     genotype: Tuple
+    node_variant: str = "bmnas"
 
     @classmethod
     def from_genotype(cls, genotype: G.Genotype, **kwargs):
@@ -108,6 +109,7 @@ class FoundRGBDepthNet(nn.Module):
             num_keep_edges=self.num_keep_edges,
             node_steps=self.node_steps, node_multiplier=self.node_multiplier,
             C=self.C, L=self.L, drpt=self.drpt,
+            node_variant=self.node_variant,
             genotype=self.genotype, name="fusion_net",
         )(reshaped, train)
         return nn.Dense(self.num_outputs, name="central_classifier")(out)

@@ -151,6 +151,7 @@ class FoundImageTextNet(nn.Module):
     drpt: float
     genotype: Tuple  # frozen; build with from_genotype()
     backbone_dtype: Any = jnp.float32
+    node_variant: str = "bmnas"
 
     @classmethod
     def from_genotype(cls, genotype: G.Genotype, **kwargs) -> "FoundImageTextNet":
@@ -189,6 +190,7 @@ class FoundImageTextNet(nn.Module):
             num_keep_edges=self.num_keep_edges,
             node_steps=self.node_steps, node_multiplier=self.node_multiplier,
             C=self.C, L=self.L, drpt=self.drpt,
+            node_variant=self.node_variant,
             genotype=self.genotype, name="fusion_net",
         )
         out = fusion(reshaped, train)

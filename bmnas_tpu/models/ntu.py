@@ -111,6 +111,7 @@ class FoundSkeletonImageNet(nn.Module):
     drpt: float
     genotype: Tuple
     remat: bool = False
+    node_variant: str = "bmnas"
 
     @classmethod
     def from_genotype(cls, genotype: G.Genotype, **kwargs):
@@ -143,6 +144,7 @@ class FoundSkeletonImageNet(nn.Module):
             num_keep_edges=self.num_keep_edges,
             node_steps=self.node_steps, node_multiplier=self.node_multiplier,
             C=self.C, L=self.L, drpt=self.drpt,
+            node_variant=self.node_variant,
             genotype=self.genotype, name="fusion_net",
         )(reshaped, train)
         return nn.Dense(self.num_outputs, name="central_classifier")(out)

@@ -1,0 +1,40 @@
+"""Grain pipeline adapter: batch parity with the in-tree loader."""
+import numpy as np
+import pytest
+
+pytest.importorskip("grain")
+
+from bmnas_tpu.data.grain_pipeline import grain_batches
+from bmnas_tpu.data.mmimdb import MMIMDBDataset
+from bmnas_tpu.data.synthetic import make_mmimdb_synthetic
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("grain_synth")
+    make_mmimdb_synthetic(str(root), n_per_stage=10, image_hw=(16, 16))
+    return MMIMDBDataset(str(root), "train", use_native=False)
+
+
+def test_unshuffled_batches_match_inline_loader(dataset):
+    got = list(grain_batches(dataset, 4, shuffle=False, seed=0, epoch=0))
+    want = list(dataset.batches(4, shuffle=False))
+    assert len(got) == len(want) == 3
+    for g, w in zip(got, want):
+        for k in ("image", "text", "label", "mask"):
+            np.testing.assert_allclose(g[k], w[k], rtol=1e-6)
+
+
+def test_final_batch_padded_and_masked(dataset):
+    batches = list(grain_batches(dataset, 4, shuffle=False, seed=0, epoch=0))
+    last = batches[-1]
+    assert last["image"].shape[0] == 4
+    np.testing.assert_array_equal(last["mask"], [1, 1, 0, 0])
+
+
+def test_shuffle_is_epoch_deterministic(dataset):
+    a = list(grain_batches(dataset, 4, shuffle=True, seed=7, epoch=1))
+    b = list(grain_batches(dataset, 4, shuffle=True, seed=7, epoch=1))
+    c = list(grain_batches(dataset, 4, shuffle=True, seed=7, epoch=2))
+    np.testing.assert_allclose(a[0]["text"], b[0]["text"])
+    assert not np.allclose(a[0]["text"], c[0]["text"])

@@ -43,6 +43,13 @@ class TestSearchCLI:
         assert os.path.exists(os.path.join(exp_dir, "best", "best_genotype.pkl"))
         assert os.path.exists(os.path.join(exp_dir, "best", "best_model.pt"))
         assert os.path.exists(os.path.join(exp_dir, "checkpoint.msgpack"))
+        # machine-readable metrics stream
+        mpath = os.path.join(exp_dir, "metrics.jsonl")
+        assert os.path.exists(mpath)
+        import json as _json
+        rows = [_json.loads(l) for l in open(mpath)]
+        assert {r["phase"] for r in rows} == {"train", "dev"}
+        assert all("loss" in r and "metric" in r for r in rows)
         assert np.isfinite(best_f1)
         assert best_genotype is not None
         assert len(best_genotype.edges) == 4  # steps=2 * keep_edges=2

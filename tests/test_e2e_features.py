@@ -1,0 +1,63 @@
+"""CLI-level tests for the TPU-rebuild additions: --resume and --parallel."""
+import glob
+import json
+import os
+
+import numpy as np
+import pytest
+
+from bmnas_tpu.data.synthetic import make_mmimdb_synthetic
+
+TINY = ["--small_dataset", "--batchsize", "4", "--epochs", "1",
+        "--C", "8", "--L", "4", "--num_workers", "2", "--seed", "11"]
+
+
+@pytest.fixture(scope="module")
+def data_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("mmimdb_feat")
+    return make_mmimdb_synthetic(str(root), n_per_stage=8, image_hw=(32, 32))
+
+
+def test_resume_continues_search(data_root, tmp_path):
+    from bmnas_tpu.cli.mmimdb import main_search
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        main_search(["--datadir", data_root] + TINY)
+        exp1 = glob.glob("final_exp/mmimdb/search-*")[0]
+        ckpt = os.path.join(exp1, "checkpoint.msgpack")
+        assert os.path.exists(ckpt)
+
+        best_f1, best_genotype = main_search(
+            ["--datadir", data_root, "--resume", os.path.abspath(ckpt)] + TINY)
+        exp2 = sorted(glob.glob("final_exp/mmimdb/search-*"))[-1]
+        log = open(os.path.join(exp2, "log.txt")).read()
+        assert "Resumed from" in log
+        assert np.isfinite(best_f1)
+        assert best_genotype is not None
+    finally:
+        os.chdir(cwd)
+
+
+def test_parallel_search_on_virtual_mesh(data_root, tmp_path):
+    """--use_dataparallel with the 8-virtual-device CPU mesh: full CLI path
+    (loaders shard batches, state replicated, metrics globally reduced)."""
+    import jax
+    assert len(jax.devices()) == 8
+    from bmnas_tpu.cli.mmimdb import main_search
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        best_f1, best_genotype = main_search(
+            TINY[:-4] + ["--datadir", data_root, "--use_dataparallel",
+                         "--batchsize", "8", "--num_workers", "2",
+                         "--seed", "12"])
+        assert np.isfinite(best_f1)
+        assert best_genotype is not None
+        exp = sorted(glob.glob("final_exp/mmimdb/search-*"))[-1]
+        rows = [json.loads(l) for l in
+                open(os.path.join(exp, "metrics.jsonl"))]
+        # 8 samples / batch 8 with padding -> dev F1 computed over all rows
+        assert any(r["phase"] == "dev" for r in rows)
+    finally:
+        os.chdir(cwd)

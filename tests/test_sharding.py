@@ -81,6 +81,11 @@ class TestDataParallel:
         assert pad_batch_to_multiple(10, 8) == 16
 
     def test_sharded_step_matches_single_device(self):
+        # This test compiles the supernet step twice (single-device and
+        # 8-device GSPMD). Late in a full-suite run the accumulated XLA/LLVM
+        # compile state can abort the process (observed SIGABRT inside
+        # backend_compile_and_load), so shed caches first for isolation.
+        jax.clear_caches()
         batch = make_batch(8)
         state, fns = build(batch)
         # single device

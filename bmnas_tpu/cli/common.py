@@ -88,6 +88,19 @@ def model_kwargs_from_args(args) -> dict:
 # Shared trainer plumbing (used by all three task CLIs).
 # ---------------------------------------------------------------------------
 
+def fail_fast_checks(args):
+    """Validate host-side arguments before any (minutes-long) device
+    compilation starts. Found via verification probing: a typo'd --resume
+    path used to surface only after model init."""
+    import os
+    resume = getattr(args, "resume", None)
+    if resume and not os.path.exists(resume):
+        raise SystemExit(f"--resume: checkpoint not found: {resume}")
+    datadir = getattr(args, "datadir", None)
+    if datadir and not os.path.isdir(datadir):
+        raise SystemExit(f"--datadir: directory not found: {datadir}")
+
+
 def maybe_parallel(args):
     """--parallel => 1-D data mesh over all devices (GSPMD DataParallel)."""
     import jax

@@ -250,6 +250,8 @@ def run_found(args, logger, genotype, test_model_path=None):
 
 def main_search(argv=None):
     args = parse_search_args(argv)
+    from bmnas_tpu.cli.common import fail_fast_checks
+    fail_fast_checks(args)
     np.random.seed(args.seed)
     args.save = 'search-{}-{}'.format(args.save, time.strftime("%Y%m%d-%H%M%S"))
     args.save = os.path.join('final_exp/ego', args.save)
@@ -288,6 +290,8 @@ def main_found(argv=None):
     else:
         raise SystemExit("one of --search_exp_dir / --eval_exp_dir is required")
 
+    from bmnas_tpu.cli.common import fail_fast_checks
+    fail_fast_checks(args)
     np.random.seed(args.seed)
     create_exp_dir(args.save)
     logger = setup_logger(args.save)

@@ -159,9 +159,10 @@ def _maybe_load_backbones(state, args, logger):
     ske_path = os.path.join(args.checkpointdir, args.ske_cp)
     rgb_path = os.path.join(args.checkpointdir, args.rgb_cp)
     if os.path.exists(ske_path) and os.path.exists(rgb_path):
-        params = load_ntu_backbones(state.params, ske_path, rgb_path)
+        params, stats = load_ntu_backbones(state.params, state.batch_stats,
+                                           ske_path, rgb_path)
         logger.info("Loaded backbone checkpoints: %s, %s", ske_path, rgb_path)
-        return state.replace(params=params)
+        return state.replace(params=params, batch_stats=stats)
     logger.info("Backbone checkpoints not found under %s - using random init",
                 args.checkpointdir)
     return state

@@ -240,32 +240,20 @@ def convert_resnext(sd: Dict[str, np.ndarray], params: Dict, stats: Dict,
 # Task-level loaders
 # ---------------------------------------------------------------------------
 
-def load_ntu_backbones(task_params: Any, ske_path: str, rgb_path: str) -> Any:
-    """Load both NTU backbone checkpoints into a task-net params pytree
-    (prefixes 'skenet' and 'rgbnet'; batch_stats of the visual net are left
-    at init — the reference loads the state_dict including running stats,
-    callers wanting stats parity should use convert_visual directly)."""
+def load_ntu_backbones(task_params: Any, task_stats: Any, ske_path: str,
+                       rgb_path: str) -> tuple:
+    """Load both NTU backbone checkpoints into a task-net pytree.
+
+    Returns ``(params, batch_stats)`` with prefixes 'skenet' (HCN, no BN) and
+    'rgbnet' (Visual, incl. BN running stats). The reference loads the full
+    state_dict — running_mean/var included (ntu_darts_searchable.py:32-36) —
+    so eval-mode forwards see pretrained statistics, not init values.
+    """
     params = dict(task_params)
+    stats = dict(task_stats)
     ske_sd = load_torch_state_dict(ske_path)
     params["skenet"] = convert_hcn(ske_sd, params["skenet"])
     rgb_sd = load_torch_state_dict(rgb_path)
-    visual_params, _ = convert_visual(
-        rgb_sd, params["rgbnet"],
-        _fake_stats_template(params["rgbnet"]))
-    params["rgbnet"] = visual_params
-    return params
-
-
-def _fake_stats_template(params_tree):
-    """Build a BN-stats-shaped template from a params tree (scale leaves
-    define the per-layer channel counts)."""
-    out = {}
-    for k, v in params_tree.items():
-        if isinstance(v, dict):
-            if "BatchNorm_0" in v and "scale" in v["BatchNorm_0"]:
-                scale = np.asarray(v["BatchNorm_0"]["scale"])
-                out[k] = {"BatchNorm_0": {"mean": np.zeros_like(scale),
-                                          "var": np.ones_like(scale)}}
-            else:
-                out[k] = _fake_stats_template(v)
-    return out
+    params["rgbnet"], stats["rgbnet"] = convert_visual(
+        rgb_sd, params["rgbnet"], stats["rgbnet"])
+    return params, stats

@@ -131,3 +131,53 @@ class TestVisualConverter:
         np.testing.assert_allclose(got_mean, sd["cnn.bn1.running_mean"])
         # downsample branches mapped
         assert "downsample_conv" in params["cnn"]["layer2_0"]
+
+
+class TestLoadNTUBackbones:
+    def test_bn_running_stats_reach_state(self, tmp_path):
+        """Both params AND batch_stats must be imported: the reference loads
+        the full state_dict incl. running_mean/var (ntu_darts_searchable.py:
+        32-36). Dropping stats silently breaks eval-mode pretrained parity."""
+        from bmnas_tpu.models.hcn import HCN
+        from bmnas_tpu.models.ntu import Visual
+        from bmnas_tpu.utils.torch_convert import load_ntu_backbones
+
+        rgb = Visual(num_outputs=60)
+        x = jnp.asarray(RNG.randn(1, 2, 32, 32, 3).astype(np.float32))
+        rgb_v = rgb.init({"params": jax.random.PRNGKey(0)}, x, False)
+        ske = HCN(num_outputs=60, drpt=0.1)
+        s = jnp.asarray(RNG.randn(1, 32, 25, 2, 3).astype(np.float32))
+        ske_v = ske.init({"params": jax.random.PRNGKey(0),
+                          "dropout": jax.random.PRNGKey(1)}, s, False)
+
+        ske_path = str(tmp_path / "ske.checkpoint")
+        rgb_path = str(tmp_path / "rgb.checkpoint")
+        # tame the random weights so 50 layers of eval-mode forward stay
+        # finite (trained checkpoints are well-scaled; raw randn overflows)
+        rgb_sd = {k: v_ * 0.05 if v_.dim() == 5 or "conv1.weight" in k else v_
+                  for k, v_ in visual_state_dict().items()}
+        torch.save(hcn_state_dict(), ske_path)
+        torch.save(rgb_sd, rgb_path)
+
+        task_params = {"skenet": ske_v["params"], "rgbnet": rgb_v["params"]}
+        task_stats = {"rgbnet": rgb_v["batch_stats"]}
+        params, stats = load_ntu_backbones(task_params, task_stats,
+                                           ske_path, rgb_path)
+
+        sd = {k: v_.numpy() for k, v_ in rgb_sd.items()}
+        np.testing.assert_allclose(
+            np.asarray(stats["rgbnet"]["cnn"]["bn1"]["BatchNorm_0"]["mean"]),
+            sd["cnn.bn1.running_mean"])
+        np.testing.assert_allclose(
+            np.asarray(stats["rgbnet"]["cnn"]["layer3_2"]["bn2"]
+                       ["BatchNorm_0"]["var"]),
+            sd["cnn.layer3.2.bn2.running_var"])
+
+        # eval-mode forward with imported stats differs from the
+        # stats-dropped (init running stats) forward
+        out_with = rgb.apply({"params": params["rgbnet"],
+                              "batch_stats": stats["rgbnet"]}, x, False)
+        out_without = rgb.apply({"params": params["rgbnet"],
+                                 "batch_stats": rgb_v["batch_stats"]}, x, False)
+        assert not np.allclose(np.asarray(out_with[4]),
+                               np.asarray(out_without[4]), equal_nan=True)

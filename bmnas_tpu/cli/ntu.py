@@ -62,6 +62,11 @@ def _add_ntu_flags(parser, *, search: bool):
                         default='skeleton_32frames_85.24.checkpoint')
     parser.add_argument('--rgb_cp', type=str,
                         default='rgb_8frames_83.91.checkpoint')
+    parser.add_argument('--imagenet_cp', type=str,
+                        default='resnet50_imagenet.pth',
+                        help='torchvision ResNet-50 state dict used to build '
+                             'Visual by 2D->3D center inflation when --rgb_cp '
+                             'is absent (imagenet_pretraining.py:26-67)')
     parser.add_argument('--arch_learning_rate', type=float, default=3e-4)
     parser.add_argument('--arch_weight_decay', type=float, default=1e-3)
     parser.add_argument('--weight_decay', type=float, default=3e-4)
@@ -154,14 +159,38 @@ def _setup_data(args, parallel_ctx, stages):
 
 def _maybe_load_backbones(state, args, logger):
     """Import pretrained torch checkpoints when available
-    (ntu_darts_searchable.py:32-36); warn and keep random init otherwise."""
-    from bmnas_tpu.utils.torch_convert import load_ntu_backbones
+    (ntu_darts_searchable.py:32-36). When the NTU rgb checkpoint is absent
+    but a torchvision ResNet-50 ImageNet state dict is, the Visual backbone
+    is built by 2D->3D center inflation — the reference's ImageNet
+    initialization path (imagenet_pretraining.py:26-67). Random init only
+    as a last resort."""
+    from bmnas_tpu.utils.torch_convert import (
+        convert_hcn,
+        convert_resnet50_inflated,
+        load_ntu_backbones,
+        load_torch_state_dict,
+    )
     ske_path = os.path.join(args.checkpointdir, args.ske_cp)
     rgb_path = os.path.join(args.checkpointdir, args.rgb_cp)
+    imagenet_path = os.path.join(args.checkpointdir,
+                                 getattr(args, 'imagenet_cp',
+                                         'resnet50_imagenet.pth'))
     if os.path.exists(ske_path) and os.path.exists(rgb_path):
         params, stats = load_ntu_backbones(state.params, state.batch_stats,
                                            ske_path, rgb_path)
         logger.info("Loaded backbone checkpoints: %s, %s", ske_path, rgb_path)
+        return state.replace(params=params, batch_stats=stats)
+    if os.path.exists(ske_path) and os.path.exists(imagenet_path):
+        params = dict(state.params)
+        stats = dict(state.batch_stats)
+        params["skenet"] = convert_hcn(load_torch_state_dict(ske_path),
+                                       params["skenet"])
+        params["rgbnet"], stats["rgbnet"] = convert_resnet50_inflated(
+            load_torch_state_dict(imagenet_path),
+            params["rgbnet"], stats["rgbnet"])
+        logger.info("Loaded skeleton checkpoint %s; Visual built from "
+                    "ImageNet ResNet-50 by center inflation (%s)",
+                    ske_path, imagenet_path)
         return state.replace(params=params, batch_stats=stats)
     logger.info("Backbone checkpoints not found under %s - using random init",
                 args.checkpointdir)

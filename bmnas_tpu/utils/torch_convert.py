@@ -236,6 +236,57 @@ def convert_resnext(sd: Dict[str, np.ndarray], params: Dict, stats: Dict,
     return params, stats
 
 
+def convert_resnet50_inflated(sd_2d: Dict[str, np.ndarray],
+                              visual_params: Dict, visual_stats: Dict,
+                              inflation: str = "center") -> tuple:
+    """torchvision ResNet-50 (2D) state dict -> flax (params, batch_stats)
+    for models/ntu.py Visual, via 2D->3D kernel inflation.
+
+    Mirrors the reference's ImageNet initialization of the NTU RGB backbone
+    (imagenet_pretraining.py:26-67): every conv whose target is 5-D is
+    inflated to the target's temporal extent ('center' zeroes all but the
+    middle slice, exactly preserving the per-frame 2D response); the 2D stem
+    maps directly; BN params AND running stats transfer unchanged; the
+    ImageNet fc head is dropped (classifier stays at init).
+    """
+    params = _to_mutable(visual_params)
+    stats = _to_mutable(visual_stats)
+
+    def bn(torch_name, flax_name):
+        p, s = bn_params(sd_2d, torch_name)
+        _set(params, f"{flax_name}/BatchNorm_0/scale", p["scale"])
+        _set(params, f"{flax_name}/BatchNorm_0/bias", p["bias"])
+        _set(stats, f"{flax_name}/BatchNorm_0/mean", s["mean"])
+        _set(stats, f"{flax_name}/BatchNorm_0/var", s["var"])
+
+    def conv3d_inflated(torch_name, flax_path):
+        node = params
+        for part in flax_path.split("/"):
+            node = node[part]
+        time_dim = node["kernel"].shape[0]  # target (D, H, W, I, O)
+        w3d = inflate_2d_to_3d(sd_2d[f"{torch_name}.weight"], time_dim,
+                               inflation)
+        _set(params, f"{flax_path}/kernel", conv3d_kernel(w3d))
+
+    # 2D stem maps directly (our InflatedResNet50 keeps it 2D per frame)
+    _set(params, "cnn/conv1/kernel", conv2d_kernel(sd_2d["conv1.weight"]))
+    bn("bn1", "cnn/bn1")
+
+    layers = [3, 4, 6, 3]
+    for stage, blocks in enumerate(layers, start=1):
+        for b in range(blocks):
+            t = f"layer{stage}.{b}"
+            f = f"cnn/layer{stage}_{b}"
+            for ci in (1, 2, 3):
+                conv3d_inflated(f"{t}.conv{ci}", f"{f}/conv{ci}")
+                bn(f"{t}.bn{ci}", f"{f}/bn{ci}")
+            if f"{t}.downsample.0.weight" in sd_2d:
+                conv3d_inflated(f"{t}.downsample.0", f"{f}/downsample_conv")
+                bn(f"{t}.downsample.1", f"{f}/downsample_bn")
+    # fc.weight/bias intentionally dropped (imagenet_pretraining.py:41-44)
+    return params, stats
+
+
 # ---------------------------------------------------------------------------
 # Task-level loaders
 # ---------------------------------------------------------------------------

@@ -133,6 +133,95 @@ class TestVisualConverter:
         assert "downsample_conv" in params["cnn"]["layer2_0"]
 
 
+def resnet50_2d_state_dict(scale=0.05):
+    """Synthetic torchvision-resnet50-layout 2D state dict."""
+    sd = {}
+    def bn(name, c):
+        sd[f"{name}.weight"] = t((c,))
+        sd[f"{name}.bias"] = t((c,))
+        sd[f"{name}.running_mean"] = t((c,))
+        sd[f"{name}.running_var"] = torch.abs(t((c,))) + 0.5
+    sd["conv1.weight"] = t((64, 3, 7, 7)) * scale
+    bn("bn1", 64)
+    layers = [3, 4, 6, 3]
+    channels = [64, 128, 256, 512]
+    inplanes = 64
+    for stage, (planes, blocks) in enumerate(zip(channels, layers), start=1):
+        for b in range(blocks):
+            pre = f"layer{stage}.{b}"
+            sd[f"{pre}.conv1.weight"] = t((planes, inplanes, 1, 1)) * scale
+            bn(f"{pre}.bn1", planes)
+            sd[f"{pre}.conv2.weight"] = t((planes, planes, 3, 3)) * scale
+            bn(f"{pre}.bn2", planes)
+            sd[f"{pre}.conv3.weight"] = t((planes * 4, planes, 1, 1)) * scale
+            bn(f"{pre}.bn3", planes * 4)
+            if b == 0:
+                sd[f"{pre}.downsample.0.weight"] = t(
+                    (planes * 4, inplanes, 1, 1)) * scale
+                bn(f"{pre}.downsample.1", planes * 4)
+            inplanes = planes * 4
+    sd["fc.weight"] = t((1000, 2048))
+    sd["fc.bias"] = t((1000,))
+    return sd
+
+
+class TestResNet50Inflation:
+    def test_center_inflation_equals_2d_per_frame(self):
+        """A 3D conv with a center-inflated kernel reads only the middle
+        temporal tap, so it equals the 2D conv applied per frame — for ANY
+        input (imagenet_pretraining.py:6-23 exactness property)."""
+        from bmnas_tpu.utils.torch_convert import (
+            conv2d_kernel, conv3d_kernel, inflate_2d_to_3d)
+        import flax.linen as nn
+
+        w2d = RNG.randn(8, 4, 3, 3).astype(np.float32) * 0.2
+        x = RNG.randn(2, 5, 6, 6, 4).astype(np.float32)  # (B,T,H,W,C)
+
+        conv3 = nn.Conv(8, (3, 3, 3), padding=1, use_bias=False)
+        k3 = conv3d_kernel(inflate_2d_to_3d(w2d, 3))
+        out3 = conv3.apply({"params": {"kernel": jnp.asarray(k3)}},
+                           jnp.asarray(x))
+
+        conv2 = nn.Conv(8, (3, 3), padding=1, use_bias=False)
+        k2 = conv2d_kernel(w2d)
+        out2 = conv2.apply({"params": {"kernel": jnp.asarray(k2)}},
+                           jnp.asarray(x.reshape(10, 6, 6, 4)))
+        np.testing.assert_allclose(
+            np.asarray(out3).reshape(10, 6, 6, 8), np.asarray(out2),
+            rtol=2e-5, atol=2e-5)
+
+    def test_converted_visual_is_temporally_exact(self, tmp_path):
+        """Full Visual built from a torchvision-layout 2D state dict: on a
+        temporally-constant clip every stage output must be constant along T
+        (center inflation => zero temporal mixing => per-frame 2D parity)."""
+        from bmnas_tpu.models.ntu import Visual
+        from bmnas_tpu.utils.torch_convert import convert_resnet50_inflated
+
+        model = Visual(num_outputs=60)
+        frame = RNG.randn(1, 1, 32, 32, 3).astype(np.float32)
+        clip = jnp.asarray(np.repeat(frame, 4, axis=1))  # (1, T=4, 32, 32, 3)
+        v = model.init({"params": jax.random.PRNGKey(0)}, clip, False)
+        sd = {k: v_.numpy() for k, v_ in resnet50_2d_state_dict().items()}
+        params, stats = convert_resnet50_inflated(sd, v["params"],
+                                                  v["batch_stats"])
+        # BN stats transferred; classifier untouched (fc dropped)
+        np.testing.assert_allclose(
+            np.asarray(stats["cnn"]["bn1"]["BatchNorm_0"]["mean"]),
+            sd["bn1.running_mean"])
+        np.testing.assert_allclose(np.asarray(params["classifier"]["kernel"]),
+                                   np.asarray(v["params"]["classifier"]["kernel"]))
+        outs = model.apply({"params": params, "batch_stats": stats}, clip,
+                           False)
+        for fm in outs[:4]:
+            fm = np.asarray(fm)
+            assert np.isfinite(fm).all()
+            for tt in range(1, fm.shape[1]):
+                np.testing.assert_allclose(fm[:, tt], fm[:, 0],
+                                           rtol=1e-5, atol=1e-5)
+        # and the features are non-degenerate
+        assert np.abs(np.asarray(outs[3])).max() > 0
+
+
 class TestLoadNTUBackbones:
     def test_bn_running_stats_reach_state(self, tmp_path):
         """Both params AND batch_stats must be imported: the reference loads

@@ -87,8 +87,18 @@ class MMIMDBDataset:
         # normalize image layout to HWC
         if image.ndim == 3 and image.shape[0] in (1, 3) and image.shape[-1] not in (1, 3):
             image = np.transpose(image, (1, 2, 0))
-        # text: reference data is a flat (300,) feature vector
-        text = text.reshape(-1)[:TEXT_DIM]
+        # text: reference data is a flat (300,) feature vector; a (T,300)
+        # word-vector sequence (the shape the reference's collate_imdb pads,
+        # datasets/mmimdb.py:138-169) is mean-pooled over T — never silently
+        # truncated to the first word.
+        if text.ndim == 2 and text.shape[-1] == TEXT_DIM:
+            text = text.mean(axis=0)
+        else:
+            text = text.reshape(-1)
+            if text.shape[0] != TEXT_DIM:
+                raise ValueError(
+                    f"text_{idx:06}.npy has {text.shape[0]} features; "
+                    f"expected {TEXT_DIM} (flat) or (T,{TEXT_DIM}) sequence")
         return {"image": image, "text": text, "label": label}
 
     def batches(self, batch_size: int, shuffle: bool, seed: int = 0,

@@ -171,6 +171,19 @@ class NTUDataset:
         self.labels = [int(f[17:20]) for f in rgb_files
                        if (f.endswith("_rgb.avi") or f.endswith("_rgb.npy"))
                        and int(f[9:12]) in subjects]
+        # rgb/skeleton lists are built by two independent directory scans; a
+        # missing file in either directory would silently pair sample i's
+        # video with sample j's skeleton. Assert setup-name alignment
+        # (chars [:20] = SsssCcccPpppRrrrAaaa) up front.
+        if len(self.rgb_list) != len(self.ske_list):
+            raise ValueError(
+                f"NTU rgb/skeleton list length mismatch for stage {stage!r}: "
+                f"{len(self.rgb_list)} videos vs {len(self.ske_list)} skeletons")
+        for rp, sp in zip(self.rgb_list, self.ske_list):
+            rb, sb = os.path.basename(rp), os.path.basename(sp)
+            if rb[:20] != sb[:20]:
+                raise ValueError(
+                    f"NTU rgb/skeleton filename misalignment: {rb} vs {sb}")
         if small_dataset:
             self.rgb_list = self.rgb_list[:64]
             self.ske_list = self.ske_list[:64]

@@ -76,3 +76,73 @@ class TestNormalizeTransform:
         np.testing.assert_allclose(out[..., 3], img[..., 3])
         np.testing.assert_allclose(out[..., 0], img[..., 0] - 114.7748,
                                    rtol=1e-5)
+
+
+class TestMMIMDBTextLoading:
+    """data/mmimdb.py text handling: (T,300) sequences mean-pool, bad shapes
+    raise — never silent truncation to the first word vector."""
+
+    def _write_sample(self, d, idx, text):
+        np.save(d / f"image_{idx:06}.npy", RNG.randn(8, 8, 3).astype(np.float32))
+        np.save(d / f"text_{idx:06}.npy", text.astype(np.float32))
+        np.save(d / f"label_{idx:06}.npy", np.zeros(23, np.float32))
+
+    def _dataset(self, tmp_path, text):
+        from bmnas_tpu.data.mmimdb import MMIMDBDataset
+        d = tmp_path / "dev"
+        d.mkdir()
+        self._write_sample(d, 0, text)
+        return MMIMDBDataset(str(tmp_path), "dev", length=1, use_native=False)
+
+    def test_flat_vector_passthrough(self, tmp_path):
+        t = RNG.randn(300).astype(np.float32)
+        s = self._dataset(tmp_path, t).load_sample(0)
+        np.testing.assert_array_equal(s["text"], t)
+
+    def test_sequence_mean_pools(self, tmp_path):
+        t = RNG.randn(7, 300).astype(np.float32)
+        s = self._dataset(tmp_path, t).load_sample(0)
+        np.testing.assert_allclose(s["text"], t.mean(axis=0), rtol=1e-6)
+
+    def test_wrong_width_raises(self, tmp_path):
+        with pytest.raises(ValueError, match="expected 300"):
+            self._dataset(tmp_path, RNG.randn(512)).load_sample(0)
+
+
+class TestNTUFilenameAlignment:
+    """data/ntu.py constructor must reject rgb/skeleton list misalignment."""
+
+    def _mk(self, root, names, skip_skeleton=None):
+        rgb = root / "nturgb+d_rgb_256x256_30"
+        ske = root / "nturgb+d_skeletons"
+        rgb.mkdir()
+        ske.mkdir()
+        for n in names:
+            np.save(str(rgb / f"{n}_rgb.npy"),
+                    np.zeros((4, 16, 16, 3), np.float32))
+            # numpy appends .npy; rename to the exact expected name
+            if n != skip_skeleton:
+                (ske / f"{n}.skeleton").write_text("0\n")
+
+    def test_missing_skeleton_raises(self, tmp_path):
+        from bmnas_tpu.data.ntu import NTUDataset
+        names = ["S001C001P001R001A001", "S001C001P008R001A002"]
+        self._mk(tmp_path, names, skip_skeleton=names[1])
+        with pytest.raises(ValueError, match="mismatch"):
+            NTUDataset(str(tmp_path), "train_exp")
+
+    def test_aligned_ok(self, tmp_path):
+        from bmnas_tpu.data.ntu import NTUDataset
+        names = ["S001C001P001R001A001", "S001C001P008R001A002"]
+        self._mk(tmp_path, names)
+        ds = NTUDataset(str(tmp_path), "train_exp")
+        assert len(ds) == 2
+
+
+class TestNbpeCeil:
+    def test_num_batches_is_ceil(self):
+        """nbpe passed to the cosine scheduler = ceil(N/B), matching the
+        reference's len(dataloader) (mmimdb_darts_searchable.py:29-30)."""
+        assert -(-15552 // 8) == 1944           # exact division
+        assert -(-100 // 96) == 2               # NTU-style remainder
+        assert -(-191 // 96) == 2

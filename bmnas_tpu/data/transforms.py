@@ -9,9 +9,10 @@ augmentation. Frames are float32 HWC numpy arrays.
 Transforms present in the reference and rebuilt here: Compose, Normalize,
 Scale, CenterCrop, CornerCrop, RandomHorizontalFlip, MultiScaleCornerCrop,
 MultiScaleRandomCrop (the last also exists functionally in data/ego.py for
-the hot path). The elastic/blur/salt/dropout/multiply augmenters of the
-reference (nv_spatial_transforms.py:378-568) are not used by any BM-NAS
-pipeline and are intentionally omitted (README "Intentionally not rebuilt").
+the hot path), plus the augmenter tail SpatialElasticDisplacement,
+RandomRotate, RandomResize, GaussianBlur, SaltImage, Dropout,
+MultiplyValues (nv_spatial_transforms.py:378-568; unused by the BM-NAS
+entry points but part of the component inventory).
 """
 from __future__ import annotations
 
@@ -169,3 +170,167 @@ class MultiScaleCornerCrop:
         self.scale = self.scales[random.randint(0, len(self.scales) - 1)]
         self.crop_position = CornerCrop.POSITIONS[
             random.randint(0, len(CornerCrop.POSITIONS) - 1)]
+
+
+class SpatialElasticDisplacement:
+    """Elastic warp applied with probability 0.65 per clip
+    (nv_spatial_transforms.py:378-435). The smoothed displacement field is
+    drawn once per clip in randomize_parameters (the reference redraws per
+    frame inside __call__, which tears the clip temporally — randomize-once
+    is the protocol the rest of the library follows, ego.py:244)."""
+
+    def __init__(self, sigma: float = 3.0, alpha: float = 1.0, order: int = 3,
+                 cval: float = 0.0, mode: str = "constant"):
+        self.sigma = sigma
+        self.alpha = alpha
+        self.order = order
+        self.cval = cval
+        self.mode = mode
+        self.p = 1.0  # inactive until randomize_parameters
+        self._field = None
+
+    def __call__(self, img):
+        if self.p >= 0.65:
+            return img
+        from scipy import ndimage
+        img = np.asarray(img)
+        h, w = img.shape[:2]
+        if self._field is None or self._field[0].shape != (h * w, 1):
+            dx = ndimage.gaussian_filter(
+                self._rng.rand(h, w) * 2 - 1, self.sigma,
+                mode="constant", cval=0) * self.alpha
+            dy = ndimage.gaussian_filter(
+                self._rng.rand(h, w) * 2 - 1, self.sigma,
+                mode="constant", cval=0) * self.alpha
+            x, y = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+            self._field = (np.reshape(x + dx, (-1, 1)),
+                           np.reshape(y + dy, (-1, 1)))
+        ix, iy = self._field
+        out = np.copy(img)
+        chans = img.shape[2] if img.ndim == 3 else 1
+        src = img if img.ndim == 3 else img[..., None]
+        dst = out if out.ndim == 3 else out[..., None]
+        for c in range(chans):
+            dst[..., c] = ndimage.map_coordinates(
+                src[..., c], (ix, iy), order=self.order, cval=self.cval,
+                mode=self.mode).reshape(h, w)
+        return out
+
+    def randomize_parameters(self):
+        self.p = random.random()
+        self._rng = np.random.RandomState(random.randint(0, 2**31 - 1))
+        self._field = None
+
+
+class RandomRotate:
+    """Rotate by a per-clip angle in [-10, 10] degrees, bilinear
+    (nv_spatial_transforms.py:439-451)."""
+
+    def __init__(self):
+        self.rotate_angle = 0
+
+    def __call__(self, img):
+        from scipy import ndimage
+        return ndimage.rotate(np.asarray(img), self.rotate_angle,
+                              reshape=False, order=1, mode="nearest")
+
+    def randomize_parameters(self):
+        self.rotate_angle = random.randint(-10, 10)
+
+
+class RandomResize:
+    """Resize by a per-clip factor in [0.9, 1.1]
+    (nv_spatial_transforms.py:454-467)."""
+
+    def __init__(self):
+        self.resize_const = 1.0
+
+    def __call__(self, img):
+        h, w = img.shape[:2]
+        return _resize(np.asarray(img), (int(h * self.resize_const),
+                                         int(w * self.resize_const)))
+
+    def randomize_parameters(self):
+        self.resize_const = random.uniform(0.9, 1.1)
+
+
+class GaussianBlur:
+    """Blur with sigma=(5,5,0) with probability 0.2 per clip
+    (nv_spatial_transforms.py:471-485, class Gaussian_blur)."""
+
+    def __init__(self, radius: float = 0.0):
+        self.radius = radius
+        self.p = 1.0
+
+    def __call__(self, img):
+        if self.p >= 0.2:
+            return img
+        from scipy import ndimage
+        img = np.asarray(img)
+        sigma = (5, 5, 0)[:img.ndim]
+        return ndimage.gaussian_filter(img, sigma=sigma, order=0)
+
+    def randomize_parameters(self):
+        self.p = random.random()
+        self.radius = random.uniform(0.0, 0.1)
+
+
+Gaussian_blur = GaussianBlur  # reference spelling
+
+
+class SaltImage:
+    """Salt noise: ~1/ratio of pixels set to 255, with probability 0.10 per
+    clip; ratio drawn per clip in [80, 120] (nv_spatial_transforms.py:488-511).
+    The noise mask is drawn per frame (matches the reference)."""
+
+    def __init__(self, ratio: int = 100):
+        self.ratio = ratio
+        self.p = 1.0
+
+    def __call__(self, img):
+        if self.p >= 0.10:
+            return img
+        img = np.asarray(img).astype(np.float64)
+        noise = np.random.randint(self.ratio, size=img.shape)
+        return np.where(noise == 0, 255.0, img)
+
+    def randomize_parameters(self):
+        self.p = random.random()
+        self.ratio = random.randint(80, 120)
+
+
+class Dropout:
+    """Pepper noise: ~1/ratio of pixels zeroed, with probability 0.10 per
+    clip; ratio in [30, 50] (nv_spatial_transforms.py:514-537)."""
+
+    def __init__(self, ratio: int = 100):
+        self.ratio = ratio
+        self.p = 1.0
+
+    def __call__(self, img):
+        if self.p >= 0.10:
+            return img
+        img = np.asarray(img).astype(np.float64)
+        noise = np.random.randint(self.ratio, size=img.shape)
+        return np.where(noise == 0, 0.0, img)
+
+    def randomize_parameters(self):
+        self.p = random.random()
+        self.ratio = random.randint(30, 50)
+
+
+class MultiplyValues:
+    """Brightness scale by a per-clip factor in [1-value, 1+value], clipped
+    to [0, 255] (nv_spatial_transforms.py:540-568)."""
+
+    def __init__(self, value: float = 0.2, per_channel: bool = False):
+        self.value = value
+        self.per_channel = per_channel
+        self.sample = 1.0
+
+    def __call__(self, img):
+        image = np.asarray(img).astype(np.float64) * self.sample
+        return np.clip(image, 0.0, 255.0)
+
+    def randomize_parameters(self):
+        self.sample = random.uniform(1.0 - self.value, 1.0 + self.value)

@@ -91,3 +91,78 @@ def test_transforms_randomize_once_per_clip():
     for a, b in zip(out1, out2):
         np.testing.assert_array_equal(a, b)
     assert all(o.shape == (16, 16, 3) for o in out1)
+
+
+def test_augmenter_tail_randomize_once_and_semantics():
+    """elastic/rotate/resize/blur/salt/dropout/multiply
+    (nv_spatial_transforms.py:378-568): randomize-once protocol + the
+    probability gates and value semantics of each."""
+    import random as _random
+    from bmnas_tpu.data.transforms import (
+        Dropout,
+        GaussianBlur,
+        MultiplyValues,
+        RandomResize,
+        RandomRotate,
+        SaltImage,
+        SpatialElasticDisplacement,
+    )
+    rng = np.random.RandomState(1)
+    img = (rng.rand(24, 24, 3) * 255).astype(np.float32)
+
+    # MultiplyValues: pure per-clip scale, clipped to [0, 255]
+    mv = MultiplyValues(value=0.2)
+    mv.randomize_parameters()
+    assert 0.8 <= mv.sample <= 1.2
+    np.testing.assert_allclose(mv(img), np.clip(img * mv.sample, 0, 255),
+                               rtol=1e-6)
+    np.testing.assert_array_equal(mv(img), mv(img))  # randomize-once
+
+    # probability gates: p above threshold -> identity
+    for cls, thresh in [(SpatialElasticDisplacement, 0.65),
+                        (GaussianBlur, 0.2), (SaltImage, 0.1),
+                        (Dropout, 0.1)]:
+        t = cls()
+        t.p = thresh  # >= threshold means inactive
+        np.testing.assert_array_equal(np.asarray(t(img)), img)
+
+    # active paths change the image (force p below the gate)
+    el = SpatialElasticDisplacement(sigma=2.0, alpha=30.0)
+    el.randomize_parameters()
+    el.p = 0.0
+    warped = el(img)
+    assert warped.shape == img.shape and not np.array_equal(warped, img)
+    # same field for every frame of the clip
+    np.testing.assert_array_equal(el(img), warped)
+
+    gb = GaussianBlur()
+    gb.p = 0.0
+    blurred = gb(img)
+    assert blurred.shape == img.shape
+    assert blurred.std() < img.std()  # blur reduces variance
+
+    sp = SaltImage()
+    sp.randomize_parameters()
+    sp.p = 0.0
+    salted = sp(img)
+    changed = salted != img
+    assert changed.any() and (salted[changed] == 255).all()
+
+    dp = Dropout()
+    dp.randomize_parameters()
+    dp.p = 0.0
+    dropped = dp(img)
+    changed = dropped != img
+    assert changed.any() and (dropped[changed] == 0).all()
+
+    rr = RandomRotate()
+    _random.seed(3)
+    rr.randomize_parameters()
+    assert -10 <= rr.rotate_angle <= 10
+    assert rr(img).shape == img.shape
+
+    rz = RandomResize()
+    rz.randomize_parameters()
+    assert 0.9 <= rz.resize_const <= 1.1
+    out = rz(img)
+    assert out.shape[0] == int(24 * rz.resize_const)

@@ -157,6 +157,11 @@ STEP_OPS: Dict[str, Callable[..., nn.Module]] = {
     "ScaleDotAttn": lambda C, L, drpt: ScaledDotAttn(C=C, L=L),
     "LinearGLU": lambda C, L, drpt: LinearGLU(C=C, drpt=drpt),
     "ConcatFC": lambda C, L, drpt: ConcatFC(C=C, drpt=drpt),
+    # legacy vocabulary: old reference genotypes name this op
+    # 'cat_conv_relu' (main_darts_found_ntu.py:243); semantically it is
+    # ConcatFC (cat -> 1x1 conv -> BN -> ReLU -> dropout). The reference's
+    # own STEP_STEP_OPS would KeyError on it; we accept it for compatibility.
+    "cat_conv_relu": lambda C, L, drpt: ConcatFC(C=C, drpt=drpt),
 }
 
 

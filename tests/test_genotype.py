@@ -192,3 +192,62 @@ class TestPickleCompat:
         assert isinstance(g, Genotype)
         assert g.edges == [("skip", 0), ("skip", 3)]
         assert g.steps[0].inner_steps == ["Sum"]
+
+
+class TestReferenceFixtureRoundTrip:
+    """SURVEY §4 item 5: the commented reference sample genotype at
+    main_darts_found_ntu.py:243, committed as a binary pickle fixture
+    (tests/fixtures/reference_best_genotype.pkl) authored with plain
+    pickle.dump of namedtuples at models.search.darts.genotypes — the exact
+    stream the reference's darts/utils.py:96-99 produces."""
+
+    FIXTURE = "tests/fixtures/reference_best_genotype.pkl"
+
+    def _load(self):
+        import os
+        path = os.path.join(os.path.dirname(__file__), "fixtures",
+                            "reference_best_genotype.pkl")
+        return load_genotype(path)
+
+    def test_fixture_loads_with_exact_structure(self):
+        g = self._load()
+        assert isinstance(g, Genotype)
+        assert g.edges == [("skip", 3), ("skip", 7)]
+        assert g.concat == [8]
+        (s,) = g.steps
+        assert isinstance(s, StepGenotype)
+        assert s.inner_edges == [("skip", 1), ("skip", 0)]
+        assert s.inner_steps == ["cat_conv_relu"]
+        assert s.inner_concat == [2]
+
+    def test_save_reload_identical(self, tmp_path):
+        g = self._load()
+        p = str(tmp_path / "rt.pkl")
+        save_genotype(g, p)
+        g2 = load_genotype(p)
+        assert g2 == g
+
+    def test_found_net_compiles_and_runs(self):
+        """The fixture (incl. its legacy 'cat_conv_relu' inner op) must
+        compile into a FoundFusionNetwork and produce a finite forward."""
+        import jax
+        import jax.numpy as jnp
+        from bmnas_tpu.models.foundnet import FoundFusionNetwork
+
+        g = self._load()
+        net = FoundFusionNetwork.from_genotype(
+            g, steps=1, multiplier=1, num_input_nodes=8, num_keep_edges=2,
+            node_steps=1, node_multiplier=1, C=8, L=4, drpt=0.0)
+        feats = [jnp.ones((2, 4, 8)) * 0.1 * (i + 1) for i in range(8)]  # (B,L,C)
+        variables = net.init(jax.random.PRNGKey(0), feats, train=False)
+        out = net.apply(variables, feats, train=False)
+        assert out.shape[0] == 2 and bool(jnp.isfinite(out).all())
+
+    def test_fixture_plots(self, tmp_path):
+        from bmnas_tpu.visualize import plot_genotype
+        g = self._load()
+        base = str(tmp_path / "fix")
+        plot_genotype(g, base, task="ntu", num_input_nodes=8,
+                      num_keep_edges=2, node_steps=1, node_multiplier=1)
+        import os
+        assert os.path.exists(base + ".pdf") or os.path.exists(base + ".dot")

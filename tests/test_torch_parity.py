@@ -22,38 +22,78 @@ def has_torchvision():
         return False
 
 
-@pytest.mark.skipif(not has_torchvision(), reason="torchvision unavailable")
+# torchvision VGG19 "features" layout (cfg E): conv counts per block with a
+# maxpool after each block. This is fixed upstream, so we can rebuild the
+# exact nn.Sequential (same state-dict keys features.{i}.weight/bias) in
+# plain torch and keep the parity proof running without torchvision.
+VGG19_CFG = [64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M",
+             512, 512, 512, 512, "M", 512, 512, 512, 512, "M"]
+
+
+def make_vgg19_features() -> torch.nn.Sequential:
+    layers = []
+    c_in = 3
+    for v in VGG19_CFG:
+        if v == "M":
+            layers.append(torch.nn.MaxPool2d(2, 2))
+        else:
+            layers.append(torch.nn.Conv2d(c_in, v, 3, padding=1))
+            layers.append(torch.nn.ReLU(inplace=True))
+            c_in = v
+    return torch.nn.Sequential(*layers)
+
+
+class _VGGShell(torch.nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.features = make_vgg19_features()
+
+
+def _vgg_taps_parity(tm, features):
+    from bmnas_tpu.models.mmimdb import GPVGG
+    from bmnas_tpu.utils.torch_convert import convert_vgg19
+
+    x = RNG.randn(2, 3, 64, 64).astype(np.float32)
+
+    # torch taps at feature indices 20/26/33/36 (central/mmimdb.py:26-47)
+    taps_t = {}
+    with torch.no_grad():
+        h = torch.from_numpy(x)
+        for i, layer in enumerate(features):
+            h = layer(h)
+            if i in (20, 26, 33, 36):
+                taps_t[i] = h.numpy()
+
+    model = GPVGG(num_outputs=5)
+    xj = jax.numpy.asarray(x.transpose(0, 2, 3, 1))
+    variables = model.init(jax.random.PRNGKey(0), xj, False)
+    params = convert_vgg19(
+        {k: v.numpy() for k, v in tm.state_dict().items()},
+        variables["params"])
+    outs = model.apply({"params": params,
+                        "batch_stats": variables["batch_stats"]},
+                       xj, False)
+    for j, i in enumerate((20, 26, 33, 36)):
+        got = np.asarray(outs[j]).transpose(0, 3, 1, 2)
+        np.testing.assert_allclose(got, taps_t[i], rtol=1e-3, atol=1e-4)
+
+
 class TestVGG19Parity:
     def test_feature_taps_match(self):
-        import torchvision
-
-        from bmnas_tpu.models.mmimdb import GPVGG
-        from bmnas_tpu.utils.torch_convert import convert_vgg19
-
-        tm = torchvision.models.vgg19(weights=None).eval()
-        x = RNG.randn(2, 3, 64, 64).astype(np.float32)
-
-        # torch taps at feature indices 20/26/33/36 (central/mmimdb.py:26-47)
-        taps_t = {}
-        with torch.no_grad():
-            h = torch.from_numpy(x)
-            for i, layer in enumerate(tm.features):
-                h = layer(h)
-                if i in (20, 26, 33, 36):
-                    taps_t[i] = h.numpy()
-
-        model = GPVGG(num_outputs=5)
-        xj = jax.numpy.asarray(x.transpose(0, 2, 3, 1))
-        variables = model.init(jax.random.PRNGKey(0), xj, False)
-        params = convert_vgg19(
-            {k: v.numpy() for k, v in tm.state_dict().items()},
-            variables["params"])
-        outs = model.apply({"params": params,
-                            "batch_stats": variables["batch_stats"]},
-                           xj, False)
-        for j, i in enumerate((20, 26, 33, 36)):
-            got = np.asarray(outs[j]).transpose(0, 3, 1, 2)
-            np.testing.assert_allclose(got, taps_t[i], rtol=1e-3, atol=1e-4)
+        """Always-on variant: cfg-E stack rebuilt in plain torch, identical
+        state-dict keys to torchvision.models.vgg19()."""
+        tm = _VGGShell().eval()
+        # sanity: tap indices land on the layers GP_VGG expects
+        assert isinstance(tm.features[36], torch.nn.MaxPool2d)
+        assert isinstance(tm.features[33], torch.nn.ReLU)
+        assert "features.34.weight" in dict(tm.state_dict())
+        if has_torchvision():
+            # cross-check our rebuilt layout against the real thing
+            import torchvision
+            tv = torchvision.models.vgg19(weights=None)
+            assert [k for k in tv.state_dict() if k.startswith("features")] \
+                == list(tm.state_dict().keys())
+        _vgg_taps_parity(tm, tm.features)
 
 
 class TestHCNParity:

@@ -102,10 +102,18 @@ def fail_fast_checks(args):
 
 
 def maybe_parallel(args):
-    """--parallel => 1-D data mesh over all devices (GSPMD DataParallel)."""
+    """--parallel => 1-D data mesh over all devices (GSPMD DataParallel).
+
+    Initializes the multi-host runtime first (no-op unless a coordinator is
+    configured via JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/JAX_PROCESS_ID),
+    so under a multi-process launch the mesh below spans every host's
+    devices — the upgrade past the reference's commented-out DDP
+    (ntu_darts_searchable.py:52)."""
     import jax
 
     from bmnas_tpu.parallel.mesh import make_parallel_context
+    from bmnas_tpu.parallel.multihost import ensure_multihost
+    ensure_multihost()
     if getattr(args, "parallel", False) and len(jax.devices()) > 1:
         return make_parallel_context()
     return None

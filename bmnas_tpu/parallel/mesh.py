@@ -34,7 +34,18 @@ class ParallelContext:
         return self.mesh.size
 
     def shard_batch(self, batch: Any) -> Any:
-        """Place a host batch with dim-0 sharded across the mesh."""
+        """Place a host batch with dim-0 sharded across the mesh.
+
+        Single-process: a plain device_put scatter. Multi-process (after
+        parallel.multihost.ensure_multihost): each process passes its LOCAL
+        shard of the global batch and the pieces are assembled into one
+        global array spanning all hosts' devices."""
+        if jax.process_count() > 1:
+            return jax.tree_util.tree_map(
+                lambda x: jax.make_array_from_process_local_data(
+                    self.batch_sharding, np.asarray(x)),
+                batch,
+            )
         return jax.tree_util.tree_map(
             lambda x: jax.device_put(x, self.batch_sharding), batch
         )

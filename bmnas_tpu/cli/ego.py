@@ -94,6 +94,8 @@ def _add_ego_flags(parser, *, search: bool):
     parser.add_argument('--profile_dir', type=str, default=None)
     if not search:
         parser.add_argument('--search_exp_dir', type=str, default=None)
+        parser.add_argument('--fused_kernels', action='store_true',
+                            help='fused Pallas whole-cell kernel for eval forwards (found phase; node_steps=1)')
         parser.add_argument('--node_variant', type=str, default='bmnas',
                             choices=['bmnas', 'darts', 'mfas', 'aoa',
                                      'two_head_attn'])
@@ -215,6 +217,7 @@ def run_found(args, logger, genotype, test_model_path=None):
 
     model = FoundRGBDepthNet.from_genotype(
         genotype, node_variant=getattr(args, 'node_variant', 'bmnas'),
+        fused_eval=getattr(args, 'fused_kernels', False),
         **model_kwargs_from_args(args))
     batch = next(iter(datasets["train"].batches(batchsize, shuffle=False)))
     # found ego keeps backbones frozen (requires_grad=False,

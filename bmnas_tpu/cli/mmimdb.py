@@ -72,6 +72,8 @@ def parse_found_args(argv=None):
     parser.add_argument('--f1_type', type=str, default='weighted')
     parser.add_argument('--search_exp_dir', type=str, default=None,
                         help='evaluate which search exp')
+    parser.add_argument('--fused_kernels', action='store_true',
+                        help='fused Pallas whole-cell kernel for eval forwards (found phase; node_steps=1)')
     parser.add_argument('--node_variant', type=str, default='bmnas',
                         choices=['bmnas', 'darts', 'mfas', 'aoa',
                                  'two_head_attn'],
@@ -171,6 +173,7 @@ def run_found(args, logger, genotype, test_model_path=None):
     model = FoundImageTextNet.from_genotype(
         genotype, backbone_dtype=bdt,
         node_variant=getattr(args, 'node_variant', 'bmnas'),
+        fused_eval=getattr(args, 'fused_kernels', False),
         **model_kwargs_from_args(args))
     batch = _first_batch(datasets, batchsize)
     # eval-phase optimizer covers ALL params incl. backbones, Adam(eta_max,

@@ -107,6 +107,8 @@ def _add_ntu_flags(parser, *, search: bool):
                              'phase training at large batch on one chip')
     if not search:
         parser.add_argument('--search_exp_dir', type=str, default=None)
+        parser.add_argument('--fused_kernels', action='store_true',
+                            help='fused Pallas whole-cell kernel for eval forwards (found phase; node_steps=1)')
         parser.add_argument('--node_variant', type=str, default='bmnas',
                             choices=['bmnas', 'darts', 'mfas', 'aoa',
                                      'two_head_attn'])
@@ -248,6 +250,7 @@ def run_found(args, logger, genotype, test_model_path=None):
     model = FoundSkeletonImageNet.from_genotype(
         genotype, remat=getattr(args, 'remat', False),
         node_variant=getattr(args, 'node_variant', 'bmnas'),
+        fused_eval=getattr(args, 'fused_kernels', False),
         **model_kwargs_from_args(args))
     batch = next(iter(datasets["train"].batches(batchsize, shuffle=False)))
     # eval optimizer covers the whole net (main_darts_found_ntu.py:122-139)

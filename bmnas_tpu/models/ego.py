@@ -76,6 +76,7 @@ class FoundRGBDepthNet(nn.Module):
     drpt: float
     genotype: Tuple
     node_variant: str = "bmnas"
+    fused_eval: bool = False  # Pallas whole-cell kernel on eval forwards
 
     @classmethod
     def from_genotype(cls, genotype: G.Genotype, **kwargs):
@@ -110,6 +111,7 @@ class FoundRGBDepthNet(nn.Module):
             node_steps=self.node_steps, node_multiplier=self.node_multiplier,
             C=self.C, L=self.L, drpt=self.drpt,
             node_variant=self.node_variant,
+            fused_eval=self.fused_eval,
             genotype=self.genotype, name="fusion_net",
         )(reshaped, train)
         return nn.Dense(self.num_outputs, name="central_classifier")(out)

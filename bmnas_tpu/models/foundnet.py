@@ -31,7 +31,13 @@ def _freeze(genotype: G.Genotype) -> Tuple:
 
 
 class FoundNodeCell(nn.Module):
-    """Fixed inner DAG from a StepGenotype (node.py:8-76)."""
+    """Fixed inner DAG from a StepGenotype (node.py:8-76).
+
+    With ``fused_eval=True`` an eval-mode forward of the common
+    node_steps=1 / node_multiplier=1 shape executes as ONE Pallas kernel
+    (ops/kernels/node_mixed.found_node_cell_fused): inner op + residual +
+    output LayerNorm in a single VMEM residency, BNs folded. Training and
+    init always take the composite path (same parameters either way)."""
     inner_edges: Tuple[Tuple[str, int], ...]
     inner_steps: Tuple[str, ...]
     node_steps: int
@@ -39,9 +45,48 @@ class FoundNodeCell(nn.Module):
     C: int
     L: int
     drpt: float
+    fused_eval: bool = False
+
+    def _can_fuse(self, train: bool) -> bool:
+        from bmnas_tpu.ops.kernels.node_mixed import FUSABLE_STEP_OPS
+        return (
+            self.fused_eval
+            and not train
+            and not self.is_initializing()
+            and self.node_steps == 1
+            and self.node_multiplier == 1
+            and self.inner_steps[0] in FUSABLE_STEP_OPS
+            and all(k in ("skip", "none") for k, _ in self.inner_edges[:2])
+        )
+
+    def _fused_forward(self, x, y):
+        import jax
+
+        from bmnas_tpu.ops.kernels.node_mixed import (
+            FUSABLE_STEP_OPS,
+            found_node_cell_fused,
+            found_node_params_from_flax,
+        )
+
+        gammas, p, ln2_s, ln2_b = found_node_params_from_flax(
+            self.variables, self.inner_steps[0], self.C, self.L)
+        branch = FUSABLE_STEP_OPS[self.inner_steps[0]]
+        states = (x, y)
+        kind_x, idx_x = self.inner_edges[0]
+        kind_y, idx_y = self.inner_edges[1]
+        in_x = states[idx_x] if kind_x == "skip" else jnp.zeros_like(x)
+        in_y = states[idx_y] if kind_y == "skip" else jnp.zeros_like(y)
+        interpret = jax.default_backend() != "tpu"
+        # tile_b=32 measured best on v5e at reference shapes (grid overhead
+        # amortizes; see ops/kernels/node_mixed.py measurement notes)
+        return found_node_cell_fused(in_x, in_y, x, gammas, p, ln2_s, ln2_b,
+                                     interpret=interpret,
+                                     static_branch=branch, tile_b=32)
 
     @nn.compact
     def __call__(self, x, y, train: bool):
+        if self._can_fuse(train):
+            return self._fused_forward(x, y)
         states = [x, y]
         for i in range(self.node_steps):
             name_x, idx_x = self.inner_edges[2 * i]
@@ -144,6 +189,7 @@ class FoundFusionCell(nn.Module):
     L: int
     drpt: float
     node_variant: str = "bmnas"
+    fused_eval: bool = False
 
     def _make_step_node(self, i: int):
         if self.node_variant == "bmnas":
@@ -152,7 +198,8 @@ class FoundFusionCell(nn.Module):
                 inner_edges=inner_edges, inner_steps=inner_steps,
                 node_steps=self.node_steps,
                 node_multiplier=self.node_multiplier,
-                C=self.C, L=self.L, drpt=self.drpt, name=f"step_node_{i}")
+                C=self.C, L=self.L, drpt=self.drpt,
+                fused_eval=self.fused_eval, name=f"step_node_{i}")
         if self.node_variant == "darts":
             return DartsFusionNode(name=f"step_node_{i}")
         if self.node_variant == "mfas":
@@ -198,6 +245,7 @@ class FoundFusionNetwork(nn.Module):
     drpt: float
     genotype: Tuple  # frozen via from_genotype()
     node_variant: str = "bmnas"
+    fused_eval: bool = False
 
     @classmethod
     def from_genotype(cls, genotype: G.Genotype, **kwargs) -> "FoundFusionNetwork":
@@ -217,6 +265,7 @@ class FoundFusionNetwork(nn.Module):
             L=self.L,
             drpt=self.drpt,
             node_variant=self.node_variant,
+            fused_eval=self.fused_eval,
             name="cell",
         )(input_features, train)
 

@@ -152,6 +152,7 @@ class FoundImageTextNet(nn.Module):
     genotype: Tuple  # frozen; build with from_genotype()
     backbone_dtype: Any = jnp.float32
     node_variant: str = "bmnas"
+    fused_eval: bool = False  # Pallas whole-cell kernel on eval forwards
 
     @classmethod
     def from_genotype(cls, genotype: G.Genotype, **kwargs) -> "FoundImageTextNet":
@@ -191,6 +192,7 @@ class FoundImageTextNet(nn.Module):
             node_steps=self.node_steps, node_multiplier=self.node_multiplier,
             C=self.C, L=self.L, drpt=self.drpt,
             node_variant=self.node_variant,
+            fused_eval=self.fused_eval,
             genotype=self.genotype, name="fusion_net",
         )
         out = fusion(reshaped, train)

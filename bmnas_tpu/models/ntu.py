@@ -112,6 +112,7 @@ class FoundSkeletonImageNet(nn.Module):
     genotype: Tuple
     remat: bool = False
     node_variant: str = "bmnas"
+    fused_eval: bool = False  # Pallas whole-cell kernel on eval forwards
 
     @classmethod
     def from_genotype(cls, genotype: G.Genotype, **kwargs):
@@ -145,6 +146,7 @@ class FoundSkeletonImageNet(nn.Module):
             node_steps=self.node_steps, node_multiplier=self.node_multiplier,
             C=self.C, L=self.L, drpt=self.drpt,
             node_variant=self.node_variant,
+            fused_eval=self.fused_eval,
             genotype=self.genotype, name="fusion_net",
         )(reshaped, train)
         return nn.Dense(self.num_outputs, name="central_classifier")(out)

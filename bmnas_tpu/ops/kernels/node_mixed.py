@@ -17,20 +17,25 @@ Inference-mode semantics: BatchNorms are FOLDED into the dense weights
 serving path. Training keeps the jnp composite (XLA already fuses the
 elementwise tails there, and train-mode BN needs cross-batch reductions).
 
-Measurement verdict (recorded honestly): this op takes single-digit
-microseconds at reference shapes (B=96, L=16, C=192). The development
-environment reaches its TPU through a relay whose dispatch jitter is tens of
-milliseconds and whose ``block_until_ready`` is a no-op, so kernel-vs-XLA
-deltas at this scale are BELOW THE MEASUREMENT FLOOR here: slope-method
-chains (N=40 vs N=400 inside single dispatches) give ~3.6 us/op fused vs
-~7.2 us/op composite, but the deltas (2-3 ms per 360 ops) sit inside relay
-noise. Analytically the op is GEMM-bound and XLA lowers the composite to one
-batched GEMM per dense branch, so the composite remains the DEFAULT
-everywhere; this kernel is (a) a correctness-tested Pallas path (equivalence
-to 1e-7 in fp32), and (b) the base for a whole-FoundNodeCell fusion (edge
-ops + mixed op + residual + LayerNorm in one kernel) where the train-mode BN
-boundary blocks XLA fusion. A definitive ranking needs a direct-attached
-TPU with working profiling.
+Measurement verdict (recorded honestly; slope method = chained-op jits of
+two lengths, scalar-fetch sync, v5e via the axon relay):
+
+  * 4-branch mixed op (search semantics, all branches live): fused ~3.6
+    us/op vs ~7.2 us/op composite (round-1 chains, N=40 vs N=400).
+  * whole FoundNodeCell (found semantics, ONE static branch + residual +
+    LayerNorm; B=96, L=16, C=192, branch=ScaleDotAttn; N=200 vs N=2000):
+    XLA composite 11.4 us/op; fused kernel 16.1 us/op at tile_b=8,
+    12.9 us/op at tile_b=32 (grid overhead amortizes; tile_b=4 is 29.5).
+    With ``static_branch`` only the selected branch's GEMMs are emitted.
+
+Conclusion: the fused kernel wins when all four branches are needed (the
+supernet's NodeMixedOp — but search runs train-mode BN, which this
+eval-mode kernel cannot host), and reaches near-parity for single-op found
+cells, where XLA already fuses the composite well at these tiny shapes. The
+composite therefore remains the DEFAULT; the kernel is user-reachable via
+``--fused_kernels`` on the found CLIs and ``FoundNetServer(fused=True)``,
+equivalence-tested against the composite (1e-7 fp32 on CPU; bf16-MXU
+tolerance on TPU, where XLA's default-precision einsum rounds differently).
 
 Shapes: x, y (B, L, C); one grid program per batch row; block (L, C) and the
 (2C, 2C) weights sit in VMEM (L<=16, C<=192 in all reference configs ->
@@ -94,68 +99,107 @@ def node_mixed_op_reference(x, y, gammas, p: NodeMixedParams,
     return gammas[0] * s + gammas[1] * a + gammas[2] * g + gammas[3] * c
 
 
-def _kernel(gamma_ref, x_ref, y_ref, ln_s_ref, ln_b_ref, gw_ref, gb_ref,
-            cw_ref, cb_ref, out_ref, *, eps: float, L: int, tile_b: int):
-    """One program handles a tile of ``tile_b`` samples, laid out 2D.
+def _block_layernorm(o, same_blk, scale, bias, *, L, C, eps):
+    """Per-sample LayerNorm over a (R, C) tile whose rows are grouped into
+    L-row sample blocks: statistics via a block-averaging matmul (strictly
+    2D; no in-kernel reshapes, which Mosaic lowers poorly)."""
+    bavg = jnp.where(same_blk, jnp.float32(1.0 / (L * C)), jnp.float32(0.0))
+    s1 = jnp.sum(o, axis=1, keepdims=True)                        # (R, 1)
+    s2 = jnp.sum(o * o, axis=1, keepdims=True)
+    mean = jnp.dot(bavg, s1, preferred_element_type=jnp.float32)  # (R, 1)
+    ex2 = jnp.dot(bavg, s2, preferred_element_type=jnp.float32)
+    var = ex2 - mean * mean
+    return (o - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+def _mixed_body(gamma_ref, x2, y2, ln_s, ln_b, gw, gb_, cw, cb_,
+                *, eps: float, L: int, static_branch: int = None):
+    """The four-branch weighted combine on a 2D (R, C) tile; returns
+    (out2, same_blk).
 
     MXU utilization is the design driver: with L=16 a per-sample GEMM has 16
     rows (12.5% of a 128-row MXU pass). Tiling 8 samples gives 128-row GEMMs
     for the GLU/ConcatFC branches, the attention scores for the whole tile
     are ONE (tile_b*L, tile_b*L) GEMM masked to its block diagonal (rows of
     the softmax only attend within their own sample), and the per-sample
-    LayerNorm statistics come from a block-averaging matmul — everything
-    stays strictly 2D (no in-kernel reshapes, which Mosaic lowers poorly).
+    LayerNorm statistics come from a block-averaging matmul.
+
+    ``static_branch`` specializes the trace to ONE branch (found nets know
+    their inner op at compile time): the other branches' GEMMs are never
+    emitted, and the gamma weight is skipped (found semantics are the bare
+    op, weight exactly 1).
     """
-    x2 = x_ref[:]                    # (R, C), R = tile_b * L
-    y2 = y_ref[:]
     R, C = x2.shape
-    g0 = gamma_ref[0, 0]
-    g1 = gamma_ref[0, 1]
-    g2 = gamma_ref[0, 2]
-    g3 = gamma_ref[0, 3]
+
+    def want(i):
+        return static_branch is None or static_branch == i
 
     row_blk = jax.lax.broadcasted_iota(jnp.int32, (R, R), 0) // L
     col_blk = jax.lax.broadcasted_iota(jnp.int32, (R, R), 1) // L
     same_blk = row_blk == col_blk
 
+    out2 = jnp.zeros_like(x2)
+
     # branch 0: sum
-    out2 = g0 * (x2 + y2)
+    if want(0):
+        s = x2 + y2
+        out2 = s if static_branch == 0 else gamma_ref[0, 0] * s
 
     # branch 1: block-diagonal attention + per-sample LayerNorm
-    scores = jax.lax.dot_general(
-        x2, y2, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * (1.0 / math.sqrt(C))
-    scores = jnp.where(same_blk, scores, jnp.float32(-1e30))
-    scores = scores - jnp.max(scores, axis=-1, keepdims=True)
-    e = jnp.exp(scores)
-    attn = e / jnp.sum(e, axis=-1, keepdims=True)
-    a2 = jnp.dot(attn, y2, preferred_element_type=jnp.float32)   # (R, C)
+    if want(1):
+        scores = jax.lax.dot_general(
+            x2, y2, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * (1.0 / math.sqrt(C))
+        scores = jnp.where(same_blk, scores, jnp.float32(-1e30))
+        scores = scores - jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores)
+        attn = e / jnp.sum(e, axis=-1, keepdims=True)
+        a2 = jnp.dot(attn, y2, preferred_element_type=jnp.float32)  # (R, C)
+        a2 = _block_layernorm(a2, same_blk, ln_s, ln_b, L=L, C=C, eps=eps)
+        out2 = a2 if static_branch == 1 else out2 + gamma_ref[0, 1] * a2
 
-    # per-sample mean/var via block-averaging matmul: bavg[i, j] = 1/(L*C)
-    # within a sample's row block. E[a], E[a^2] per row -> per sample.
-    bavg = jnp.where(same_blk, jnp.float32(1.0 / (L * C)), jnp.float32(0.0))
-    s1 = jnp.sum(a2, axis=1, keepdims=True)                      # (R, 1)
-    s2 = jnp.sum(a2 * a2, axis=1, keepdims=True)
-    mean = jnp.dot(bavg, s1, preferred_element_type=jnp.float32)  # (R, 1)
-    ex2 = jnp.dot(bavg, s2, preferred_element_type=jnp.float32)
-    var = ex2 - mean * mean
-    a2 = (a2 - mean) * jax.lax.rsqrt(var + eps) * ln_s_ref[:] + ln_b_ref[:]
-    out2 = out2 + g1 * a2
-
-    # shared concat for branches 2 and 3: (R, 2C)
-    cat = jnp.concatenate([x2, y2], axis=-1)
+    if want(2) or want(3):
+        # shared concat for branches 2 and 3: (R, 2C)
+        cat = jnp.concatenate([x2, y2], axis=-1)
 
     # branch 2: GLU (BN folded into gw/gb)
-    h = jnp.dot(cat, gw_ref[:], preferred_element_type=jnp.float32) + gb_ref[:]
-    ga = h[:, :C]
-    gb = h[:, C:]
-    out2 = out2 + g2 * (ga * (1.0 / (1.0 + jnp.exp(-gb))))
+    if want(2):
+        h = jnp.dot(cat, gw, preferred_element_type=jnp.float32) + gb_
+        ga = h[:, :C]
+        gb = h[:, C:]
+        g = ga * (1.0 / (1.0 + jnp.exp(-gb)))
+        out2 = g if static_branch == 2 else out2 + gamma_ref[0, 2] * g
 
     # branch 3: ConcatFC (BN folded into cw/cb)
-    c = jnp.dot(cat, cw_ref[:], preferred_element_type=jnp.float32) + cb_ref[:]
-    out2 = out2 + g3 * jnp.maximum(c, 0.0)
+    if want(3):
+        c = jnp.dot(cat, cw, preferred_element_type=jnp.float32) + cb_
+        c = jnp.maximum(c, 0.0)
+        out2 = c if static_branch == 3 else out2 + gamma_ref[0, 3] * c
+    return out2, same_blk
 
+
+def _kernel(gamma_ref, x_ref, y_ref, ln_s_ref, ln_b_ref, gw_ref, gb_ref,
+            cw_ref, cb_ref, out_ref, *, eps: float, L: int, tile_b: int):
+    """One program handles a tile of ``tile_b`` samples, laid out 2D."""
+    out2, _ = _mixed_body(gamma_ref, x_ref[:], y_ref[:], ln_s_ref[:],
+                          ln_b_ref[:], gw_ref[:], gb_ref[:], cw_ref[:],
+                          cb_ref[:], eps=eps, L=L)
     out_ref[:] = out2
+
+
+def _cell_kernel(gamma_ref, x_ref, y_ref, r_ref, ln_s_ref, ln_b_ref, gw_ref,
+                 gb_ref, cw_ref, cb_ref, ln2_s_ref, ln2_b_ref, out_ref, *,
+                 eps: float, L: int, tile_b: int, static_branch: int = None):
+    """Whole FoundNodeCell step: mixed op + residual + output LayerNorm in
+    one VMEM residency (node.py:8-76 eval semantics, node_steps=1)."""
+    out2, same_blk = _mixed_body(gamma_ref, x_ref[:], y_ref[:], ln_s_ref[:],
+                                 ln_b_ref[:], gw_ref[:], gb_ref[:], cw_ref[:],
+                                 cb_ref[:], eps=eps, L=L,
+                                 static_branch=static_branch)
+    o = out2 + r_ref[:]                      # "skip v4" residual
+    C = o.shape[1]
+    out_ref[:] = _block_layernorm(o, same_blk, ln2_s_ref[:], ln2_b_ref[:],
+                                  L=L, C=C, eps=eps)
 
 
 @functools.partial(jax.jit, static_argnames=("eps", "interpret", "tile_b"))
@@ -245,3 +289,140 @@ def params_from_flax(node_mixed_params: dict, eps: float = 1e-5
         ln_scale=ln["scale"], ln_bias=ln["bias"],
         glu_kernel=glu_k, glu_bias=glu_b,
         cfc_kernel=cfc_k, cfc_bias=cfc_b)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "interpret", "tile_b",
+                                               "static_branch"))
+def found_node_cell_fused(x: jnp.ndarray, y: jnp.ndarray,
+                          residual: jnp.ndarray, gammas: jnp.ndarray,
+                          p: NodeMixedParams, ln2_scale: jnp.ndarray,
+                          ln2_bias: jnp.ndarray, eps: float = 1e-5,
+                          interpret: bool = False, tile_b: int = 8,
+                          static_branch: int = None) -> jnp.ndarray:
+    """Fused eval-mode FoundNodeCell (node_steps=1, node_multiplier=1):
+
+        out = LayerNorm2D( mixed_op(x, y) + residual )
+
+    where mixed_op is the gamma-weighted four-branch combine. A found net
+    passes ``static_branch`` (its genotype's inner op is compile-time
+    constant), which specializes the kernel to emit ONLY that branch's GEMMs
+    — no wasted MXU work; gammas are then ignored. Without it, a one-hot
+    gamma selects dynamically (all branches computed). This is the
+    whole-cell fusion the mixed-op kernel docstring proposes: edge outputs,
+    the inner op's three GEMMs, the residual and the output LayerNorm all
+    happen in one VMEM residency per tile instead of round-tripping HBM
+    between flax modules. Reference semantics: node.py:8-76 (residual
+    :73-74), node_operations.py:110-120.
+    """
+    B, L, C = x.shape
+    tile_b = min(tile_b, max(1, B))
+    Bp = ((B + tile_b - 1) // tile_b) * tile_b
+    if Bp != B:
+        pad = [(0, Bp - B), (0, 0), (0, 0)]
+        x = jnp.pad(x, pad)
+        y = jnp.pad(y, pad)
+        residual = jnp.pad(residual, pad)
+    R = tile_b * L
+    x2 = x.reshape(Bp * L, C)
+    y2 = y.reshape(Bp * L, C)
+    r2 = residual.reshape(Bp * L, C)
+    ln_s = jnp.tile(p.ln_scale, (tile_b, 1))          # (R, C)
+    ln_b = jnp.tile(p.ln_bias, (tile_b, 1))
+    ln2_s = jnp.tile(ln2_scale, (tile_b, 1))
+    ln2_b = jnp.tile(ln2_bias, (tile_b, 1))
+    gb2 = p.glu_bias.reshape(1, 2 * C)
+    cb2 = p.cfc_bias.reshape(1, C)
+    gammas2d = jnp.reshape(gammas.astype(jnp.float32), (1, 4))
+    grid = (Bp // tile_b,)
+    tile = lambda i: (i, 0)
+    full = lambda i: (0, 0)
+    out = pl.pallas_call(
+        functools.partial(_cell_kernel, eps=eps, L=L, tile_b=tile_b,
+                          static_branch=static_branch),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((R, C), tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, C), tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, C), tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, C), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, C), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * C, 2 * C), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * C), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * C, C), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, C), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, C), full, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((R, C), tile, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bp * L, C), x.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=(Bp // tile_b) * (2 * R * R * C * 2
+                                    + 2 * R * 2 * C * 2 * C
+                                    + 2 * R * 2 * C * C),
+            bytes_accessed=Bp * L * C * 4 * 4 + (2 * C) * (3 * C) * 4,
+            transcendentals=(Bp // tile_b) * R * (R + C),
+        ),
+    )(gammas2d, x2, y2, r2, ln_s, ln_b, p.glu_kernel, gb2, p.cfc_kernel, cb2,
+      ln2_s, ln2_b)
+    return out.reshape(Bp, L, C)[:B]
+
+
+# one-hot branch index per inner-op name (STEP_STEP_PRIMITIVES order;
+# 'cat_conv_relu' is the legacy spelling of ConcatFC, see ops/fusion_ops.py)
+FUSABLE_STEP_OPS = {"Sum": 0, "ScaleDotAttn": 1, "LinearGLU": 2,
+                    "ConcatFC": 3, "cat_conv_relu": 3}
+
+
+def found_node_params_from_flax(cell_variables: dict, op_name: str,
+                                C: int, L: int, eps: float = 1e-5):
+    """Build fused-cell parameters from a FoundNodeCell's variables subtree.
+
+    A found net owns parameters only for its genotype's chosen inner op
+    (flax names: SumOp_0 / ScaledDotAttn_0 / LinearGLU_0 / ConcatFC_0) plus
+    the cell-level output LayerNorm2D_0; unused branches get zeros and the
+    returned gamma one-hot switches them off.
+
+    Returns (gammas, NodeMixedParams, ln2_scale, ln2_bias).
+    """
+    params = cell_variables["params"]
+    stats = cell_variables.get("batch_stats", {})
+    idx = FUSABLE_STEP_OPS[op_name]
+    gammas = jnp.zeros((4,), jnp.float32).at[idx].set(1.0)
+
+    ln_scale = jnp.zeros((L, C), jnp.float32)
+    ln_bias = jnp.zeros((L, C), jnp.float32)
+    glu_k = jnp.zeros((2 * C, 2 * C), jnp.float32)
+    glu_b = jnp.zeros((2 * C,), jnp.float32)
+    cfc_k = jnp.zeros((2 * C, C), jnp.float32)
+    cfc_b = jnp.zeros((C,), jnp.float32)
+
+    if idx == 1:
+        ln = params["ScaledDotAttn_0"]["LayerNorm2D_0"]
+        ln_scale, ln_bias = ln["scale"], ln["bias"]
+    elif idx == 2:
+        glu_p = params["LinearGLU_0"]
+        glu_s = stats["LinearGLU_0"]
+        glu_k, glu_b = fuse_bn_into_dense(
+            glu_p["Dense_0"]["kernel"], glu_p["Dense_0"]["bias"],
+            glu_p["BatchNorm_0"]["BatchNorm_0"]["scale"],
+            glu_p["BatchNorm_0"]["BatchNorm_0"]["bias"],
+            glu_s["BatchNorm_0"]["BatchNorm_0"]["mean"],
+            glu_s["BatchNorm_0"]["BatchNorm_0"]["var"], eps)
+    elif idx == 3:
+        key = "ConcatFC_0"
+        cfc_p = params[key]
+        cfc_s = stats[key]
+        cfc_k, cfc_b = fuse_bn_into_dense(
+            cfc_p["Dense_0"]["kernel"], cfc_p["Dense_0"]["bias"],
+            cfc_p["BatchNorm_0"]["BatchNorm_0"]["scale"],
+            cfc_p["BatchNorm_0"]["BatchNorm_0"]["bias"],
+            cfc_s["BatchNorm_0"]["BatchNorm_0"]["mean"],
+            cfc_s["BatchNorm_0"]["BatchNorm_0"]["var"], eps)
+
+    ln2 = params["LayerNorm2D_0"]
+    p = NodeMixedParams(ln_scale=ln_scale, ln_bias=ln_bias,
+                        glu_kernel=glu_k, glu_bias=glu_b,
+                        cfc_kernel=cfc_k, cfc_bias=cfc_b)
+    return gammas, p, ln2["scale"], ln2["bias"]

@@ -7,8 +7,10 @@ test-only CLI mode). Production-oriented additions here:
     genotype is static so XLA sees a fixed DAG;
   * optional bfloat16 activations/weights (MXU-native; backbone convs
     dominate and are numerically robust at bf16 — logits computed in fp32);
-  * optional fused Pallas mixed-op path (ops/kernels) — off by default at
-    reference shapes, see the kernel docstring for measurements;
+  * ``fused=True``: the fusion cell's eval forward runs as one Pallas
+    whole-cell kernel (ops/kernels/node_mixed.found_node_cell_fused — inner
+    op + residual + LayerNorm in a single VMEM residency, BNs folded);
+    applies to node_steps=1/node_multiplier=1 genotypes, off by default;
   * fixed batch with mask padding, matching the training data contract;
   * optional data-parallel serving over a device mesh.
 """
@@ -28,7 +30,10 @@ class FoundNetServer:
 
     def __init__(self, model, params: Any, batch_stats: Any,
                  dtype=jnp.float32,
-                 parallel_ctx: Optional[ParallelContext] = None):
+                 parallel_ctx: Optional[ParallelContext] = None,
+                 fused: bool = False):
+        if fused and hasattr(model, "fused_eval"):
+            model = model.clone(fused_eval=True)
         self.model = model
         self.dtype = dtype
         variables = {"params": params, "batch_stats": batch_stats}
@@ -70,10 +75,10 @@ class FoundNetServer:
 
 
 def load_server(snapshot_path: str, model, dtype=jnp.float32,
-                parallel_ctx: Optional[ParallelContext] = None
-                ) -> FoundNetServer:
+                parallel_ctx: Optional[ParallelContext] = None,
+                fused: bool = False) -> FoundNetServer:
     """Build a server from a ``best_model.pt`` snapshot (utils.checkpoint)."""
     from bmnas_tpu.utils.checkpoint import load_model
     snap = load_model(snapshot_path)
     return FoundNetServer(model, snap["params"], snap["batch_stats"],
-                          dtype=dtype, parallel_ctx=parallel_ctx)
+                          dtype=dtype, parallel_ctx=parallel_ctx, fused=fused)

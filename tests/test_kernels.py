@@ -64,3 +64,80 @@ def test_bn_folding():
     got = x @ xk + xb
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4,
                                atol=1e-5)
+
+
+@pytest.mark.parametrize("op", ["Sum", "ScaleDotAttn", "LinearGLU",
+                                "ConcatFC"])
+def test_fused_found_cell_matches_composite(op):
+    """found_node_cell_fused (one Pallas kernel: inner op + residual + LN)
+    == FoundNodeCell's composite eval forward, for every inner op, with
+    parameters extracted+folded straight from the flax variables tree."""
+    from bmnas_tpu.models.foundnet import FoundNodeCell
+    from bmnas_tpu.ops.kernels.node_mixed import (
+        found_node_cell_fused,
+        found_node_params_from_flax,
+    )
+
+    B, L, C = 3, 8, 16
+    x = jnp.asarray(RNG.randn(B, L, C).astype(np.float32))
+    y = jnp.asarray(RNG.randn(B, L, C).astype(np.float32))
+    cell = FoundNodeCell(inner_edges=(("skip", 0), ("skip", 1)),
+                         inner_steps=(op,), node_steps=1, node_multiplier=1,
+                         C=C, L=L, drpt=0.0)
+    variables = cell.init(jax.random.PRNGKey(0), x, y, True)
+    # randomize BN stats so folding is actually exercised
+    if "batch_stats" in variables:
+        variables = jax.tree_util.tree_map(
+            lambda a: a + jnp.asarray(
+                RNG.rand(*a.shape).astype(np.float32) * 0.5),
+            variables)
+    want = cell.apply(variables, x, y, False)
+
+    gammas, p, ln2_s, ln2_b = found_node_params_from_flax(
+        variables, op, C, L)
+    got = found_node_cell_fused(x, y, x, gammas, p, ln2_s, ln2_b,
+                                interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+    # and through the module's own fused_eval switch (identical params)
+    fused_cell = cell.clone(fused_eval=True)
+    got2 = fused_cell.apply(variables, x, y, False)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_fused_eval_full_found_net_and_server():
+    """--fused_kernels end to end: a FoundImageTextNet with fused_eval=True
+    produces the composite's logits, and FoundNetServer(fused=True) serves
+    them."""
+    from bmnas_tpu.genotype import Genotype, StepGenotype
+    from bmnas_tpu.models.mmimdb import FoundImageTextNet
+    from bmnas_tpu.serving import FoundNetServer
+
+    geno = Genotype(
+        edges=[("skip", 0), ("skip", 4), ("skip", 2), ("skip", 5)],
+        concat=[6, 7],
+        steps=[StepGenotype([("skip", 0), ("skip", 1)], ["ScaleDotAttn"], [2]),
+               StepGenotype([("skip", 1), ("skip", 0)], ["LinearGLU"], [2])],
+    )
+    kwargs = dict(C=8, L=4, steps=2, multiplier=2, node_steps=1,
+                  node_multiplier=1, num_input_nodes=6, num_keep_edges=2,
+                  num_outputs=5, drpt=0.0)
+    model = FoundImageTextNet.from_genotype(geno, **kwargs)
+    batch = {"image": jnp.asarray(RNG.rand(2, 32, 32, 3).astype(np.float32)),
+             "text": jnp.asarray(RNG.randn(2, 300).astype(np.float32))}
+    variables = model.init(jax.random.PRNGKey(0), batch, None, False)
+    want = model.apply(variables, batch, None, False)
+
+    fused_model = model.clone(fused_eval=True)
+    got = fused_model.apply(variables, batch, None, False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+    server = FoundNetServer(model, variables["params"],
+                            variables["batch_stats"], fused=True)
+    assert server.model.fused_eval
+    logits = server.predict(batch)
+    np.testing.assert_allclose(logits, np.asarray(want), rtol=2e-4,
+                               atol=2e-4)

@@ -1,0 +1,91 @@
+"""main_serve.py: batch-inference serving CLI over FoundNetServer."""
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bmnas_tpu.data.synthetic import make_mmimdb_synthetic
+from bmnas_tpu.genotype import Genotype, StepGenotype, save_genotype
+from bmnas_tpu.models.mmimdb import FoundImageTextNet
+from bmnas_tpu.utils.checkpoint import save_model
+
+GENO = Genotype(
+    edges=[("skip", 0), ("skip", 4), ("skip", 2), ("skip", 5)],
+    concat=[6, 7],
+    steps=[StepGenotype([("skip", 0), ("skip", 1)], ["ScaleDotAttn"], [2]),
+           StepGenotype([("skip", 1), ("skip", 0)], ["Sum"], [2])],
+)
+CFG = dict(C=8, L=4, steps=2, multiplier=2, node_steps=1, node_multiplier=1,
+           num_input_nodes=6, num_keep_edges=2, num_outputs=23, drpt=0.0)
+
+
+@pytest.fixture(scope="module")
+def artifacts(tmp_path_factory):
+    root = tmp_path_factory.mktemp("serve")
+    data = root / "data"
+    make_mmimdb_synthetic(str(data), n_per_stage=12, image_hw=(32, 32))
+    exp = root / "exp" / "best"
+    exp.mkdir(parents=True)
+    save_genotype(GENO, str(exp / "best_genotype.pkl"))
+    model = FoundImageTextNet.from_genotype(GENO, **CFG)
+    batch = {"image": jnp.zeros((2, 32, 32, 3)),
+             "text": jnp.zeros((2, 300))}
+    variables = model.init(jax.random.PRNGKey(0), batch, None, False)
+    save_model(str(exp / "best_model.pt"), variables["params"],
+               variables["batch_stats"])
+    return str(data), str(root / "exp"), model, variables
+
+
+def _serve(data, exp, extra=()):
+    from bmnas_tpu.cli.serve import main_serve
+    return main_serve(["--task", "mmimdb", "--eval_exp_dir", exp,
+                       "--datadir", data, "--small_dataset",
+                       "--batchsize", "4", "--C", "8", "--L", "4",
+                       "--num_workers", "2", *extra])
+
+
+def test_serve_reports_metric_and_throughput(artifacts, capsys):
+    data, exp, model, variables = artifacts
+    result = _serve(data, exp)
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    assert json.loads(out) == result  # the JSON line IS the return value
+    assert result["metric"] == "weighted_f1"
+    assert 0.0 <= result["value"] <= 1.0
+    assert result["samples"] == 12
+    assert result["samples_per_sec"] > 0
+
+
+def test_serve_matches_direct_apply(artifacts):
+    """Served logits (through snapshot load + FoundNetServer) must equal a
+    direct model.apply with the same variables."""
+    data, exp, model, variables = artifacts
+    from bmnas_tpu.data.mmimdb import MMIMDBDataset
+    from bmnas_tpu.serving import load_server
+
+    server = load_server(os.path.join(exp, "best", "best_model.pt"), model)
+    ds = MMIMDBDataset(data, "test", small_dataset=True, num_workers=2)
+    batch = next(iter(ds.batches(4, shuffle=False)))
+    got = server.predict(batch)
+    want = model.apply(variables,
+                       {k: jnp.asarray(v) for k, v in batch.items()},
+                       None, False)
+    np.testing.assert_allclose(got, np.asarray(want)[: len(got)], rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_serve_fused_matches(artifacts):
+    data, exp, model, variables = artifacts
+    base = _serve(data, exp)
+    fused = _serve(data, exp, extra=("--fused_kernels",))
+    assert abs(fused["value"] - base["value"]) < 1e-3
+    assert fused["fused_kernels"] is True
+
+
+def test_serve_missing_artifacts_fails_fast(tmp_path, artifacts):
+    data, _, _, _ = artifacts
+    (tmp_path / "best").mkdir()
+    with pytest.raises(SystemExit, match="no genotype"):
+        _serve(data, str(tmp_path))

@@ -152,7 +152,6 @@ def measure_ntu_found(batch=48, iters=60, warm=8):
         node_multiplier=1, num_input_nodes=8, num_keep_edges=2,
         num_outputs=60, drpt=0.0)
 
-    rr = np.random.RandomState(0)
     def mk(seed):
         r = np.random.RandomState(seed)
         return {

@@ -176,7 +176,7 @@ def run_search(args, logger):
     stages = {"train": "training", "dev": "validation", "test": "testing"}
     datasets, dataset_sizes, loaders, batchsize = _setup_data(
         args, parallel_ctx, stages)
-    nbpe = -(-dataset_sizes["train"] // args.batchsize)  # ceil = len(dataloader) semantics (mmimdb_darts_searchable.py:29-30)
+    nbpe = -(-dataset_sizes["train"] // batchsize)  # ceil(N/B) = len(dataloader) semantics (mmimdb_darts_searchable.py:29-30); batchsize is the padded loader batch under --parallel
 
     model = SearchableRGBDepthNet(**model_kwargs_from_args(args))
     arch = init_arch_params(jax.random.PRNGKey(args.seed + 1), args.steps,
@@ -213,7 +213,7 @@ def run_found(args, logger, genotype, test_model_path=None):
     stages = {"train": "train_dev", "test": "testing"}
     datasets, dataset_sizes, loaders, batchsize = _setup_data(
         args, parallel_ctx, stages)
-    nbpe = -(-dataset_sizes["train"] // args.batchsize)  # ceil = len(dataloader) semantics (mmimdb_darts_searchable.py:29-30)
+    nbpe = -(-dataset_sizes["train"] // batchsize)  # ceil(N/B) = len(dataloader) semantics (mmimdb_darts_searchable.py:29-30); batchsize is the padded loader batch under --parallel
 
     model = FoundRGBDepthNet.from_genotype(
         genotype, node_variant=getattr(args, 'node_variant', 'bmnas'),

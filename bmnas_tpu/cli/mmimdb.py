@@ -126,7 +126,7 @@ def run_search(args, logger):
     """Bilevel search (mmimdb_darts_searchable.py:19-55)."""
     parallel_ctx = maybe_parallel(args)
     datasets, dataset_sizes, loaders, batchsize = _setup_data(args, parallel_ctx)
-    nbpe = -(-dataset_sizes["train"] // args.batchsize)  # ceil = len(dataloader) semantics (mmimdb_darts_searchable.py:29-30)
+    nbpe = -(-dataset_sizes["train"] // batchsize)  # ceil(N/B) = len(dataloader) semantics (mmimdb_darts_searchable.py:29-30); batchsize is the padded loader batch under --parallel
 
     import jax.numpy as _jnp
     bdt = _jnp.bfloat16 if getattr(args, 'bf16_backbone', False) else _jnp.float32
@@ -166,7 +166,7 @@ def run_found(args, logger, genotype, test_model_path=None):
     (main_darts_found_mmimdb.py:96-153)."""
     parallel_ctx = maybe_parallel(args)
     datasets, dataset_sizes, loaders, batchsize = _setup_data(args, parallel_ctx)
-    nbpe = -(-dataset_sizes["train"] // args.batchsize)  # ceil = len(dataloader) semantics (mmimdb_darts_searchable.py:29-30)
+    nbpe = -(-dataset_sizes["train"] // batchsize)  # ceil(N/B) = len(dataloader) semantics (mmimdb_darts_searchable.py:29-30); batchsize is the padded loader batch under --parallel
 
     import jax.numpy as _jnp
     bdt = _jnp.bfloat16 if getattr(args, 'bf16_backbone', False) else _jnp.float32

@@ -208,7 +208,7 @@ def run_search(args, logger):
     stages = {"train": "train_exp", "dev": "dev", "test": "test"}
     datasets, dataset_sizes, loaders, batchsize = _setup_data(
         args, parallel_ctx, stages)
-    nbpe = -(-dataset_sizes["train"] // args.batchsize)  # ceil = len(dataloader) semantics (mmimdb_darts_searchable.py:29-30)
+    nbpe = -(-dataset_sizes["train"] // batchsize)  # ceil(N/B) = len(dataloader) semantics (mmimdb_darts_searchable.py:29-30); batchsize is the padded loader batch under --parallel
 
     model = SearchableSkeletonImageNet(**model_kwargs_from_args(args))
     arch = init_arch_params(jax.random.PRNGKey(args.seed + 1), args.steps,
@@ -245,7 +245,7 @@ def run_found(args, logger, genotype, test_model_path=None):
     stages = {"train": "train_val", "test": "test"}
     datasets, dataset_sizes, loaders, batchsize = _setup_data(
         args, parallel_ctx, stages)
-    nbpe = -(-dataset_sizes["train"] // args.batchsize)  # ceil = len(dataloader) semantics (mmimdb_darts_searchable.py:29-30)
+    nbpe = -(-dataset_sizes["train"] // batchsize)  # ceil(N/B) = len(dataloader) semantics (mmimdb_darts_searchable.py:29-30); batchsize is the padded loader batch under --parallel
 
     model = FoundSkeletonImageNet.from_genotype(
         genotype, remat=getattr(args, 'remat', False),

@@ -93,9 +93,10 @@ def _dataset(task: str, args, split: str):
 
 def _metric(task: str, logits: np.ndarray, labels: np.ndarray):
     if task == "mmimdb":
+        from bmnas_tpu.cli.mmimdb import TH_FSCORE
         from bmnas_tpu.utils.metrics import f1_from_counts, multilabel_counts
         import jax.numpy as jnp
-        preds = (1.0 / (1.0 + np.exp(-logits)) > 0.3).astype(np.float32)
+        preds = (1.0 / (1.0 + np.exp(-logits)) > TH_FSCORE).astype(np.float32)
         counts = multilabel_counts(jnp.asarray(preds), jnp.asarray(labels),
                                    jnp.ones(len(labels)))
         counts = {k: np.asarray(v) for k, v in counts.items()}
@@ -134,6 +135,10 @@ def main_serve(argv=None):
     genotype = load_genotype(geno_path)
     model = _build_task(args0.task, args, genotype)
     parallel_ctx = maybe_parallel(args)
+    if parallel_ctx is not None:
+        from bmnas_tpu.parallel.mesh import pad_batch_to_multiple
+        args.batchsize = pad_batch_to_multiple(args.batchsize,
+                                               parallel_ctx.num_devices)
     server = load_server(
         snap_path, model,
         dtype=jnp.bfloat16 if args0.bf16 else jnp.float32,

@@ -272,6 +272,9 @@ class GaussianBlur:
 
     def randomize_parameters(self):
         self.p = random.random()
+        # radius is drawn but unused, exactly as in the reference
+        # (nv_spatial_transforms.py:482-485 draws it; __call__ hardcodes
+        # sigma=(5,5,0) at :478) — kept for behavioral parity.
         self.radius = random.uniform(0.0, 0.1)
 
 
@@ -325,6 +328,8 @@ class MultiplyValues:
 
     def __init__(self, value: float = 0.2, per_channel: bool = False):
         self.value = value
+        # accepted-but-unused in the reference too
+        # (nv_spatial_transforms.py:542-544); kept for signature parity.
         self.per_channel = per_channel
         self.sample = 1.0
 

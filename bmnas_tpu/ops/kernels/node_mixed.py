@@ -184,7 +184,7 @@ def _kernel(gamma_ref, x_ref, y_ref, ln_s_ref, ln_b_ref, gw_ref, gb_ref,
     out2, _ = _mixed_body(gamma_ref, x_ref[:], y_ref[:], ln_s_ref[:],
                           ln_b_ref[:], gw_ref[:], gb_ref[:], cw_ref[:],
                           cb_ref[:], eps=eps, L=L)
-    out_ref[:] = out2
+    out_ref[:] = out2.astype(out_ref.dtype)  # f32 accum -> output dtype (bf16 serving)
 
 
 def _cell_kernel(gamma_ref, x_ref, y_ref, r_ref, ln_s_ref, ln_b_ref, gw_ref,
@@ -199,7 +199,7 @@ def _cell_kernel(gamma_ref, x_ref, y_ref, r_ref, ln_s_ref, ln_b_ref, gw_ref,
     o = out2 + r_ref[:]                      # "skip v4" residual
     C = o.shape[1]
     out_ref[:] = _block_layernorm(o, same_blk, ln2_s_ref[:], ln2_b_ref[:],
-                                  L=L, C=C, eps=eps)
+                                  L=L, C=C, eps=eps).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("eps", "interpret", "tile_b"))

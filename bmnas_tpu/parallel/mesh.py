@@ -37,15 +37,29 @@ class ParallelContext:
         """Place a host batch with dim-0 sharded across the mesh.
 
         Single-process: a plain device_put scatter. Multi-process (after
-        parallel.multihost.ensure_multihost): each process passes its LOCAL
-        shard of the global batch and the pieces are assembled into one
-        global array spanning all hosts' devices."""
+        parallel.multihost.ensure_multihost): every process passes the SAME
+        global batch — the deterministic seeded loaders already produce
+        identical batches on every host — and each process keeps only its
+        1/P row slice, assembled into one global array spanning all hosts'
+        devices. This makes the multi-process semantics bit-identical to
+        the single-host run on the same global batch (DataParallel parity,
+        SURVEY.md §2.5) at the cost of P-fold duplicated host-side loading."""
         if jax.process_count() > 1:
-            return jax.tree_util.tree_map(
-                lambda x: jax.make_array_from_process_local_data(
-                    self.batch_sharding, np.asarray(x)),
-                batch,
-            )
+            pid, pc = jax.process_index(), jax.process_count()
+
+            def place(x):
+                x = np.asarray(x)
+                if x.shape[0] % pc:
+                    raise ValueError(
+                        f"global batch dim {x.shape[0]} not divisible by "
+                        f"{pc} processes (pad_batch_to_multiple over "
+                        f"jax.device_count() guarantees this in the CLIs)")
+                per = x.shape[0] // pc
+                local = x[pid * per:(pid + 1) * per]
+                return jax.make_array_from_process_local_data(
+                    self.batch_sharding, local)
+
+            return jax.tree_util.tree_map(place, batch)
         return jax.tree_util.tree_map(
             lambda x: jax.device_put(x, self.batch_sharding), batch
         )

@@ -141,3 +141,21 @@ def test_fused_eval_full_found_net_and_server():
     logits = server.predict(batch)
     np.testing.assert_allclose(logits, np.asarray(want), rtol=2e-4,
                                atol=2e-4)
+
+
+def test_fused_cell_bf16_dtype():
+    """bf16 serving regression: the kernels accumulate in f32 but must store
+    back in the output dtype (crashed with 'Invalid dtype for swap' before)."""
+    from bmnas_tpu.ops.kernels.node_mixed import found_node_cell_fused
+
+    B, L, C = 2, 4, 8
+    p = make_params(L, C)
+    x = jnp.asarray(RNG.randn(B, L, C).astype(np.float32)).astype(jnp.bfloat16)
+    out = found_node_cell_fused(x, x, x, jnp.asarray([0.0, 1.0, 0.0, 0.0]), p,
+                                jnp.ones((L, C)), jnp.zeros((L, C)),
+                                interpret=True, static_branch=1)
+    assert out.dtype == jnp.bfloat16
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+    got16 = node_mixed_op_fused(x, x, jnp.asarray([0.25] * 4), p,
+                                interpret=True)
+    assert got16.dtype == jnp.bfloat16

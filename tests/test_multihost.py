@@ -5,8 +5,9 @@ upgrade is jax.distributed + the same 1-D data mesh spanning all hosts.
 Verified here with a REAL 2-process jax.distributed CPU cluster: both
 workers initialize through ensure_multihost (the exact call the CLIs make
 via maybe_parallel), build make_parallel_context() over the global device
-set, assemble a global batch from process-local shards through
-ParallelContext.shard_batch, and check a jitted global reduction agrees.
+set, feed the IDENTICAL global batch through ParallelContext.shard_batch
+(which keeps each process's 1/P slice — the CLI loader contract), and check
+an order-sensitive jitted global reduction agrees on both workers.
 """
 import os
 import socket
@@ -33,14 +34,19 @@ from bmnas_tpu.parallel.mesh import make_parallel_context
 ctx = make_parallel_context()
 assert ctx.num_devices == jax.device_count() == 2
 
-# each process contributes its local half of a global batch of 8 rows
-local = np.arange(4, dtype=np.float32).reshape(4, 1) + 4 * pid
-batch = ctx.shard_batch({"x": local})
-g = jax.jit(lambda b: b["x"].sum())(batch)
-total = float(g)  # global sum 0+1+...+7 = 28 on every process
+# CLI contract: every process loads the IDENTICAL global batch (seeded
+# loaders); shard_batch keeps this process's 1/P row slice. A
+# position-weighted reduction proves row ORDER survives assembly, not
+# just membership.
+global_batch = np.arange(8, dtype=np.float32).reshape(8, 1)
+batch = ctx.shard_batch({"x": global_batch})
+assert batch["x"].shape == (8, 1)
+w = np.arange(8, dtype=np.float32).reshape(8, 1)
+g = jax.jit(lambda b: (b["x"] * w).sum())(batch)
+total = float(g)  # sum i*i for i<8 = 140, and order-sensitive
 print(f"RESULT pid={pid} total={total} primary={is_primary_host()}",
       flush=True)
-assert total == 28.0, total
+assert total == 140.0, total
 """
 
 
@@ -88,5 +94,5 @@ def test_two_process_cpu_cluster():
         outs.append(out)
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out}"
-        assert f"RESULT pid={pid} total=28.0" in out, out
+        assert f"RESULT pid={pid} total=140.0" in out, out
     assert "primary=True" in outs[0] and "primary=False" in outs[1]

@@ -134,14 +134,14 @@ def _setup_data(args, parallel_ctx, stages):
         for phase, subset in stages.items()
     }
     dataset_sizes = {p: len(d) for p, d in datasets.items()}
-    sharding = parallel_ctx.batch_sharding if parallel_ctx else None
+    place = parallel_ctx.shard_batch if parallel_ctx else None
 
     def loader(phase, shuffle):
         def make(epoch):
             it = datasets[phase].batches(
                 batchsize, shuffle=shuffle,
                 seed=(args.seed * 1000003 + epoch * 131 + hash(phase) % 97))
-            return device_prefetch(it, size=2, sharding=sharding)
+            return device_prefetch(it, size=2, place=place)
         return make
 
     loaders = {p: loader(p, shuffle=(p == "train")) for p in stages}
@@ -258,7 +258,7 @@ def main_search(argv=None):
     np.random.seed(args.seed)
     args.save = 'search-{}-{}'.format(args.save, time.strftime("%Y%m%d-%H%M%S"))
     args.save = os.path.join('final_exp/ego', args.save)
-    create_exp_dir(args.save)
+    args.save = create_exp_dir(args.save)
     logger = setup_logger(args.save)
     logger.info("args = %s", args)
     logger.info("BM-NAS for EgoGesture Started.")
@@ -296,7 +296,7 @@ def main_found(argv=None):
     from bmnas_tpu.cli.common import fail_fast_checks
     fail_fast_checks(args)
     np.random.seed(args.seed)
-    create_exp_dir(args.save)
+    args.save = create_exp_dir(args.save)
     logger = setup_logger(args.save)
     logger.info("args = %s", args)
 

@@ -98,14 +98,14 @@ def _setup_data(args, parallel_ctx):
         for s in ("train", "dev", "test")
     }
     dataset_sizes = {s: len(d) for s, d in datasets.items()}
-    sharding = parallel_ctx.batch_sharding if parallel_ctx else None
+    place = parallel_ctx.shard_batch if parallel_ctx else None
 
     def loader(stage):
         def make(epoch):
             it = datasets[stage].batches(
                 batchsize, shuffle=True,
                 seed=(args.seed * 1000003 + epoch * 131 + hash(stage) % 97))
-            return device_prefetch(it, size=2, sharding=sharding)
+            return device_prefetch(it, size=2, place=place)
         return make
 
     loaders = {s: loader(s) for s in ("train", "dev", "test")}
@@ -214,7 +214,7 @@ def main_search(argv=None):
     np.random.seed(args.seed)
     args.save = 'search-{}-{}'.format(args.save, time.strftime("%Y%m%d-%H%M%S"))
     args.save = os.path.join('final_exp/mmimdb', args.save)
-    create_exp_dir(args.save)
+    args.save = create_exp_dir(args.save)
     logger = setup_logger(args.save)
     logger.info("args = %s", args)
     logger.info("BM-NAS for MM-IMDB Started.")
@@ -253,7 +253,7 @@ def main_found(argv=None):
     from bmnas_tpu.cli.common import fail_fast_checks
     fail_fast_checks(args)
     np.random.seed(args.seed)
-    create_exp_dir(args.save)
+    args.save = create_exp_dir(args.save)
     logger = setup_logger(args.save)
     logger.info("args = %s", args)
 

@@ -16,10 +16,18 @@ import jax
 
 
 def device_prefetch(iterator: Iterator[Any], size: int = 2,
-                    sharding: Optional[Any] = None) -> Iterator[Any]:
-    """Wrap a host-batch iterator; yields device-resident batches."""
+                    sharding: Optional[Any] = None,
+                    place: Optional[Any] = None) -> Iterator[Any]:
+    """Wrap a host-batch iterator; yields device-resident batches.
+
+    ``place`` (e.g. ``ParallelContext.shard_batch``) takes precedence over a
+    bare ``sharding`` — it is required under multi-process runs, where each
+    process must keep only its slice of the global batch (a plain device_put
+    onto a global NamedSharding cannot address other hosts' devices)."""
 
     def _put(batch):
+        if place is not None:
+            return place(batch)
         if sharding is not None:
             return jax.tree_util.tree_map(
                 lambda x: jax.device_put(x, sharding), batch)

@@ -17,6 +17,19 @@ DATE_FORMAT = "%m/%d %I:%M:%S %p"
 
 
 def create_exp_dir(path: str) -> str:
+    """Create the reference's <exp>/{architectures,best} layout
+    (darts/utils.py:115-127).
+
+    Multi-process runs: initializes the distributed runtime first (no-op
+    without a coordinator) and gives every non-primary process a
+    '-procN'-suffixed directory, so identical deterministic artifacts never
+    race on a shared filesystem; the primary's directory is the canonical
+    one. Callers must use the RETURNED path."""
+    from bmnas_tpu.parallel.multihost import ensure_multihost, is_primary_host
+    ensure_multihost()
+    import jax
+    if jax.process_count() > 1 and not is_primary_host():
+        path = f"{path}-proc{jax.process_index()}"
     os.makedirs(path, exist_ok=True)
     os.makedirs(os.path.join(path, "architectures"), exist_ok=True)
     os.makedirs(os.path.join(path, "best"), exist_ok=True)

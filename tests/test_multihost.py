@@ -96,3 +96,74 @@ def test_two_process_cpu_cluster():
         assert p.returncode == 0, f"worker {pid} failed:\n{out}"
         assert f"RESULT pid={pid} total=140.0" in out, out
     assert "primary=True" in outs[0] and "primary=False" in outs[1]
+
+
+CLI_WORKER = r"""
+import os, sys, glob, pickle
+import jax
+jax.config.update("jax_platforms", "cpu")
+pid, port, data = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+
+from bmnas_tpu.parallel.multihost import ensure_multihost
+assert ensure_multihost(coordinator_address=f"127.0.0.1:{port}",
+                        num_processes=2, process_id=pid)
+assert jax.device_count() == 8 and jax.local_device_count() == 4
+
+os.chdir(sys.argv[4])
+from bmnas_tpu.cli.mmimdb import main_search
+best_f1, genotype = main_search(
+    ["--datadir", data, "--small_dataset", "--epochs", "1",
+     "--batchsize", "8", "--C", "8", "--L", "4", "--num_workers", "2",
+     "--seed", "5", "--parallel"])
+print(f"CLIRESULT pid={pid} f1={best_f1:.6f} geno={genotype!r}", flush=True)
+"""
+
+
+def test_two_process_search_cli_end_to_end(tmp_path):
+    """The ACTUAL mmimdb search CLI run as a 2-process x 4-device cluster:
+    both workers train the full bilevel loop over the global 8-device mesh
+    on identical seeded data and must derive the identical genotype and dev
+    F1 (replicated deterministic updates == single-host semantics)."""
+    port = _free_port()
+    data = tmp_path / "data"
+    from bmnas_tpu.data.synthetic import make_mmimdb_synthetic
+    make_mmimdb_synthetic(str(data), n_per_stage=16, image_hw=(32, 32))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    for var in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
+                "JAX_PROCESS_ID"):
+        env.pop(var, None)
+    cwds = []
+    procs = []
+    for pid in range(2):
+        cwd = tmp_path / f"run{pid}"
+        cwd.mkdir()
+        cwds.append(cwd)
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", CLI_WORKER, str(pid), str(port),
+             str(data), str(cwd)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env, cwd=REPO))
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    results = []
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
+        line = [l for l in out.splitlines() if l.startswith("CLIRESULT")][0]
+        results.append(line.split(" ", 1)[1])
+    # identical F1 + genotype on both processes = replicated determinism
+    assert results[0].split("geno=")[1] == results[1].split("geno=")[1]
+    assert results[0].split(" ")[1] == results[1].split(" ")[1]
+    # primary wrote the canonical exp dir; worker 1 a -proc1 suffixed one
+    import glob as g
+    assert g.glob(str(cwds[0] / "final_exp/mmimdb/search-EXP-*/best/best_genotype.pkl"))
+    proc1 = g.glob(str(cwds[1] / "final_exp/mmimdb/search-EXP-*"))
+    assert proc1 and all(d.endswith("-proc1") for d in proc1)

@@ -73,6 +73,11 @@ def add_common_flags(parser: argparse.ArgumentParser, *, datadir_default: str,
     parser.add_argument('--bf16_backbone', action='store_true', default=False,
                         help='run the frozen image backbone in bfloat16 '
                              '(MXU-native; fusion path stays fp32)')
+    parser.add_argument('--unrolled', action='store_true', default=False,
+                        help='second-order DARTS arch updates (exact '
+                             'unrolled differentiation through a virtual '
+                             'SGD step; the reference ships this flag but '
+                             'only dead first-order code)')
 
 
 def model_kwargs_from_args(args) -> dict:

@@ -109,6 +109,8 @@ class StepFunctions:
 
     weight_step(state, batch, eta) -> (state', counts)
     arch_step(state, batch)        -> (state', counts)   [search dev phase]
+    arch_step_unrolled(state, dev_batch, train_batch, eta)
+                                   -> (state', counts)   [--unrolled]
     eval_step(state, batch)        -> counts             [model.eval()]
 
     ``counts`` always contains 'loss_sum' (sum of per-sample losses) and
@@ -117,6 +119,7 @@ class StepFunctions:
     weight_step: Callable
     arch_step: Optional[Callable]
     eval_step: Callable
+    arch_step_unrolled: Optional[Callable] = None
 
 
 def build_step_functions(
@@ -211,6 +214,55 @@ def build_step_functions(
         )
         return new_state, counts
 
+    def arch_step_unrolled(state: TrainState, dev_batch: Batch,
+                           train_batch: Batch, eta: jnp.ndarray):
+        """Second-order DARTS arch update (the reference's vestigial
+        ``--unrolled`` flag, main_darts_found_ntu.py:48; its only
+        implementation lives in dead code, darts/train_search.py:151, as the
+        original finite-difference approximation).
+
+        Here the unrolled objective is differentiated EXACTLY: the virtual
+        SGD step  w' = w - eta * grad_w L_train(w, alpha)  is inside the
+        traced arch-loss, so jax.grad delivers the full second-order term
+        (XLA composes the Hessian-vector product; no epsilon finite
+        differences). The virtual step is plain SGD at the current network
+        LR, per the DARTS paper's formulation.
+        """
+        rng, k0, k1, k2 = jax.random.split(state.rng, 4)
+        dev_mask = _mask(dev_batch)
+        train_mask = _mask(train_batch)
+
+        def arch_loss(arch):
+            def train_loss(params):
+                logits, _ = _forward_train(
+                    params, state.batch_stats, arch, train_batch, k0)
+                return criterion(logits, train_batch["label"], train_mask)
+
+            g_w = jax.grad(train_loss)(state.params)
+            w_virtual = jax.tree_util.tree_map(
+                lambda w, g: w - eta * g, state.params, g_w)
+            logits, new_bs = _forward_train(
+                w_virtual, state.batch_stats, arch, dev_batch, k1)
+            return criterion(logits, dev_batch["label"], dev_mask), new_bs
+
+        (_, bs_after_arch), arch_grads = jax.value_and_grad(
+            arch_loss, has_aux=True)(state.arch)
+        arch_updates, new_opt_arch = arch_tx.update(
+            arch_grads, state.opt_arch, state.arch)
+        new_arch = optax.apply_updates(state.arch, arch_updates)
+
+        # Metric forward with the UPDATED arch (same dev-phase semantics as
+        # the first-order step: real weights, second BN update).
+        logits, new_bs = _forward_train(
+            state.params, bs_after_arch, new_arch, dev_batch, k2)
+        loss = criterion(logits, dev_batch["label"], dev_mask)
+        counts = _with_loss(counts_fn(logits, dev_batch["label"], dev_mask),
+                            loss, dev_mask)
+        new_state = state.replace(
+            arch=new_arch, opt_arch=new_opt_arch, batch_stats=new_bs, rng=rng,
+        )
+        return new_state, counts
+
     def eval_step(state: TrainState, batch: Batch):
         """model.eval(): running BN stats, no dropout, no updates."""
         mask = _mask(batch)
@@ -224,6 +276,8 @@ def build_step_functions(
         weight_step=jax.jit(weight_step, donate_argnums=dn),
         arch_step=jax.jit(arch_step, donate_argnums=dn) if arch_tx is not None else None,
         eval_step=jax.jit(eval_step),
+        arch_step_unrolled=(jax.jit(arch_step_unrolled, donate_argnums=dn)
+                            if arch_tx is not None else None),
     )
 
 

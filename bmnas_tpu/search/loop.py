@@ -111,10 +111,24 @@ def run_training(
                 trains_weights = phase == "train" or (
                     phase == "dev" and status == "eval")
                 arch_steps = status == "search" and phase in ("dev", "test")
+                # --unrolled: second-order DARTS needs a train batch paired
+                # with every dev batch (virtual weight step inside the arch
+                # objective); cycle a fresh train iterator through the phase.
+                unrolled = (arch_steps and getattr(args, "unrolled", False)
+                            and fns.arch_step_unrolled is not None)
+                train_iter = iter(loaders["train"](epoch)) if unrolled else None
 
                 counts_total = None
                 for batch in loaders[phase](epoch):
-                    if arch_steps:
+                    if unrolled:
+                        try:
+                            tb = next(train_iter)
+                        except StopIteration:
+                            train_iter = iter(loaders["train"](epoch))
+                            tb = next(train_iter)
+                        state, counts = fns.arch_step_unrolled(
+                            state, batch, tb, np.float32(scheduler.eta))
+                    elif arch_steps:
                         state, counts = fns.arch_step(state, batch)
                     elif trains_weights:
                         eta = scheduler.step()

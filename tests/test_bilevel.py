@@ -167,3 +167,89 @@ class TestBilevel:
         for i in range(CFG["num_input_nodes"]):
             has = f"reshape_{i}" in fvars["params"]
             assert has == (i in used)
+
+
+class TestUnrolledDarts:
+    """--unrolled: exact second-order DARTS (bilevel.arch_step_unrolled)."""
+
+    def test_second_order_term_analytic(self):
+        """Toy problem where the first-order arch gradient is ZERO and the
+        unrolled gradient has a closed form:
+
+            L_train(w, a) = a * w^2      -> grad_w = 2 a w
+            w'            = w - eta * 2 a w
+            L_val(w', a)  = w'^2         (no direct dependence on a)
+
+        d L_val / d a = 2 w' * (-eta * 2 w). With w=1, a=0.5, eta=0.1:
+        w' = 0.9, gradient = -0.36. First-order DARTS would return 0."""
+        import optax
+
+        from bmnas_tpu.search.bilevel import (
+            TrainState,
+            build_step_functions,
+        )
+
+        def apply_fn(variables, batch, arch, train, rngs, mutable):
+            w = variables["params"]["w"]
+            logit = batch["c_train"] * arch["a"] * w ** 2 \
+                + batch["c_dev"] * w ** 2
+            if mutable:
+                return logit, {"batch_stats": {}}
+            return logit
+
+        criterion = lambda logits, labels, mask: logits
+        counts = lambda logits, labels, mask: {}
+        arch_tx = optax.sgd(1.0)  # new_a = a - grad
+        fns = build_step_functions(apply_fn, criterion, counts,
+                                   optax.identity(), arch_tx, donate=False)
+
+        one = jnp.ones((1,), jnp.float32)
+        train_b = {"c_train": 1.0, "c_dev": 0.0, "label": one, "mask": one}
+        dev_b = {"c_train": 0.0, "c_dev": 1.0, "label": one, "mask": one}
+        state = TrainState(
+            params={"w": jnp.asarray(1.0)}, batch_stats={},
+            arch={"a": jnp.asarray(0.5)},
+            opt_w=optax.identity().init({"w": jnp.asarray(1.0)}),
+            opt_arch=arch_tx.init({"a": jnp.asarray(0.5)}),
+            rng=jax.random.PRNGKey(0), step=jnp.asarray(0, jnp.int32))
+
+        # first-order step: no movement (grad is exactly zero)
+        s1, _ = fns.arch_step(state, dev_b)
+        np.testing.assert_allclose(float(s1.arch["a"]), 0.5, atol=1e-7)
+
+        # unrolled step: a <- a - (-0.36)
+        s2, _ = fns.arch_step_unrolled(state, dev_b, train_b,
+                                       np.float32(0.1))
+        np.testing.assert_allclose(float(s2.arch["a"]), 0.5 + 0.36,
+                                   rtol=1e-5)
+        # weights and their optimizer state untouched
+        np.testing.assert_allclose(float(s2.params["w"]), 1.0)
+
+    def test_unrolled_moves_arch_not_params(self, setup):
+        model, variables, arch, batch = setup
+        state, fns = make_state(model, variables, arch)
+        dev = synthetic_batch(key=3)
+        new_state, counts = fns.arch_step_unrolled(state, dev, batch,
+                                                   np.float32(1e-3))
+        # params identical, arch changed
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                       np.asarray(b)),
+            state.params, new_state.params)
+        diffs = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.abs(a - b).max()), state.arch,
+            new_state.arch)
+        assert max(jax.tree_util.tree_leaves(diffs)) > 0
+        assert np.isfinite(float(counts["loss_sum"]))
+
+    def test_unrolled_differs_from_first_order(self, setup):
+        model, variables, arch, batch = setup
+        state, fns = make_state(model, variables, arch)
+        dev = synthetic_batch(key=3)
+        s_first, _ = fns.arch_step(state, dev)
+        s_unrolled, _ = fns.arch_step_unrolled(state, dev, batch,
+                                               np.float32(1e-2))
+        diffs = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.abs(a - b).max()),
+            s_first.arch, s_unrolled.arch)
+        assert max(jax.tree_util.tree_leaves(diffs)) > 0

@@ -61,3 +61,24 @@ def test_parallel_search_on_virtual_mesh(data_root, tmp_path):
         assert any(r["phase"] == "dev" for r in rows)
     finally:
         os.chdir(cwd)
+
+
+def test_unrolled_search_cli(data_root, tmp_path):
+    """--unrolled drives second-order arch steps through the full search CLI
+    and still produces a genotype + best artifacts."""
+    import glob
+
+    from bmnas_tpu.cli.mmimdb import main_search
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        best_f1, genotype = main_search(
+            ["--datadir", data_root, "--small_dataset", "--epochs", "1",
+             "--batchsize", "4", "--C", "8", "--L", "4",
+             "--num_workers", "2", "--seed", "11", "--unrolled"])
+        assert np.isfinite(best_f1)
+        assert genotype is not None
+        exp = glob.glob("final_exp/mmimdb/search-EXP-*")[0]
+        assert os.path.exists(os.path.join(exp, "best", "best_genotype.pkl"))
+    finally:
+        os.chdir(cwd)

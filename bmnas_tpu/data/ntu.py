@@ -189,6 +189,24 @@ class NTUDataset:
             self.ske_list = self.ske_list[:64]
             self.labels = self.labels[:64]
         self._pool = ThreadPoolExecutor(max_workers=max(1, num_workers))
+        # C++ skeleton parser (bmnas_tpu/native): ~8x the Python parse AND
+        # GIL-released, so the thread pool above actually parallelizes it.
+        # The pure-Python parser (13 ms/file, GIL-bound) was the NTU host
+        # bottleneck at batch 96.
+        self._ske_parser = None
+        try:
+            from bmnas_tpu.native.loader import NativeSkeletonParser
+            self._ske_parser = NativeSkeletonParser()
+        except Exception:
+            self._ske_parser = None
+
+    def _parse_skeleton(self, path: str) -> np.ndarray:
+        if self._ske_parser is not None:
+            try:
+                return self._ske_parser.parse(path)
+            except IOError:
+                pass  # malformed/oversized: fall back to the Python parser
+        return get_3d_skeleton(path)
 
     def __len__(self):
         return len(self.labels)
@@ -196,7 +214,7 @@ class NTUDataset:
     def load_sample(self, idx: int, seed: int) -> Dict[str, np.ndarray]:
         rng = np.random.RandomState(seed % (2**32))
         rgb = load_video(self.rgb_list[idx])
-        ske = get_3d_skeleton(self.ske_list[idx])
+        ske = self._parse_skeleton(self.ske_list[idx])
         rgb, ske = normalize_sample(rgb, ske)
         if self.train_transform:
             rgb, ske = aug_crop(rgb, ske, rng)

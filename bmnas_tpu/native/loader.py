@@ -64,3 +64,35 @@ class NativeNpyLoader:
         if failures:
             raise IOError(f"native loader: {failures}/{n} reads failed")
         return out
+
+
+class NativeSkeletonParser:
+    """NTU .skeleton text parser (C++, GIL-released) — exact semantics of
+    data/ntu.py get_3d_skeleton (reference datasets/ntu.py:38-78)."""
+
+    MAX_T = 1000  # no NTU clip approaches this; fallback kicks in if exceeded
+
+    def __init__(self):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError(f"native parser unavailable: {_lib_error}")
+        if not hasattr(lib, "ske_parse"):
+            raise RuntimeError("stale libnpy_loader.so: rebuild required")
+        lib.ske_parse.restype = ctypes.c_int
+        lib.ske_parse.argtypes = [ctypes.c_char_p,
+                                  ctypes.POINTER(ctypes.c_float),
+                                  ctypes.c_int]
+        self._lib = lib
+
+    def parse(self, path: str) -> np.ndarray:
+        """Returns (3, T, 25, 2) float32; raises IOError on malformed input
+        or if the clip exceeds MAX_T frames (caller falls back to Python)."""
+        out = np.zeros((3, self.MAX_T, 25, 2), np.float32)
+        t = self._lib.ske_parse(
+            path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            self.MAX_T)
+        if t < 0:
+            raise IOError(f"ske_parse({path}) failed with code {t}")
+        if t > self.MAX_T:
+            raise IOError(f"ske_parse({path}): {t} frames > MAX_T")
+        return out[:, :t]

@@ -17,6 +17,10 @@
 #include <atomic>
 #include <condition_variable>
 #include <cstdint>
+#include <limits>
+#include <cmath>
+#include <cstdlib>
+#include <fstream>
 #include <cstdio>
 #include <cstring>
 #include <functional>
@@ -178,6 +182,80 @@ int npy_load_batch_var(const char** paths, int n, const long long* elems,
   std::unique_lock<std::mutex> lk(mu);
   cv.wait(lk, [&] { return done.load() == n; });
   return failures.load();
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// NTU skeleton text parser (rebuild of datasets/ntu.py:38-78 semantics; see
+// bmnas_tpu/data/ntu.py get_3d_skeleton). The Python parser costs ~13 ms per
+// file and holds the GIL, so the dataset thread pool cannot hide it; this
+// parser is called per file through ctypes (GIL released) and walks the file
+// with strtol/strtof.
+//
+// File layout: line0 = num_frames; per frame: person_count, then per person
+// a body-info line, a joint-count line, and 25 joint lines whose first 3
+// floats are x y z. Persons beyond the first 2 are consumed but ignored.
+// Output: caller-zeroed (3, max_T, 25, 2) float32, C order. NaN/inf are
+// normalized like np.nan_to_num. Returns the file's frame count (store is
+// clipped to max_T), or a negative errno-style code on malformed input.
+
+static inline void skip_line(const char*& s, const char* end) {
+  while (s < end && *s != '\n') ++s;
+  if (s < end) ++s;
+}
+
+extern "C" {
+
+int ske_parse(const char* path, float* out, int max_T) {
+  std::ifstream f(path, std::ios::binary | std::ios::ate);
+  if (!f) return -1;
+  std::streamsize size = f.tellg();
+  f.seekg(0);
+  std::string buf(static_cast<size_t>(size), '\0');
+  if (!f.read(&buf[0], size)) return -2;
+  const char* s = buf.c_str();
+  const char* end = s + buf.size();
+
+  char* next = nullptr;
+  long T = std::strtol(s, &next, 10);
+  if (next == s || T < 0) return -3;
+  s = next;
+  skip_line(s, end);
+
+  const long long jointsM = 25LL * 2;          // stride of one t in (.., T, 25, 2)
+  for (long t = 0; t < T; ++t) {
+    long npers = std::strtol(s, &next, 10);
+    if (next == s) return -4;
+    s = next;
+    skip_line(s, end);
+    for (long p = 0; p < npers; ++p) {
+      skip_line(s, end);                        // body-info line
+      skip_line(s, end);                        // joint-count line
+      for (int j = 0; j < 25; ++j) {
+        float v[3];
+        for (int c = 0; c < 3; ++c) {
+          v[c] = std::strtof(s, &next);
+          if (next == s) return -5;
+          s = next;
+          if (!std::isfinite(v[c])) {
+            v[c] = std::isnan(v[c]) ? 0.0f
+                 : (v[c] > 0 ? std::numeric_limits<float>::max()
+                             : -std::numeric_limits<float>::max());
+          }
+        }
+        skip_line(s, end);                      // rest of the joint line
+        if (p < 2 && t < max_T) {
+          long long base = (long long)t * jointsM + (long long)j * 2 + p;
+          long long plane = (long long)max_T * jointsM;
+          out[0 * plane + base] = v[0];
+          out[1 * plane + base] = v[1];
+          out[2 * plane + base] = v[2];
+        }
+      }
+    }
+  }
+  return (int)T;
 }
 
 }  // extern "C"

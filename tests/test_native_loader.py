@@ -76,3 +76,51 @@ class TestNativeLoader:
         np.stack([np.load(p) for p in paths])
         t_numpy = time.perf_counter() - t0
         assert t_native < t_numpy * 1.5, (t_native, t_numpy)
+
+
+class TestNativeSkeletonParser:
+    """C++ .skeleton parser == the Python oracle (data/ntu.py:61-79)."""
+
+    def _write_skeleton(self, path, T=20, persons=2, nan_at=None):
+        rng = np.random.RandomState(7)
+        lines = [str(T)]
+        for t in range(T):
+            lines.append(str(persons))
+            for p in range(persons):
+                lines.append("72057594037944738 0 1 1 1 1 0 0.1 -0.2 2")
+                lines.append("25")
+                for j in range(25):
+                    vals = [f"{rng.randn():.6f}" for _ in range(12)]
+                    if nan_at == (t, p, j):
+                        vals[1] = "nan"
+                    lines.append(" ".join(vals))
+        with open(path, "w") as f:
+            f.write("\n".join(lines) + "\n")
+
+    def test_matches_python_oracle(self, tmp_path):
+        pytest.importorskip("ctypes")
+        from bmnas_tpu.data.ntu import get_3d_skeleton
+        from bmnas_tpu.native.loader import NativeSkeletonParser
+        p = str(tmp_path / "a.skeleton")
+        self._write_skeleton(p, T=33, persons=2)
+        got = NativeSkeletonParser().parse(p)
+        np.testing.assert_array_equal(got, get_3d_skeleton(p))
+
+    def test_nan_and_third_person_handling(self, tmp_path):
+        from bmnas_tpu.data.ntu import get_3d_skeleton
+        from bmnas_tpu.native.loader import NativeSkeletonParser
+        p = str(tmp_path / "b.skeleton")
+        # 3 persons (third consumed but ignored) + a NaN coordinate
+        self._write_skeleton(p, T=5, persons=3, nan_at=(2, 1, 7))
+        got = NativeSkeletonParser().parse(p)
+        want = get_3d_skeleton(p)
+        np.testing.assert_array_equal(got, want)
+        assert got[1, 2, 7, 1] == 0.0  # nan -> 0 (np.nan_to_num parity)
+
+    def test_dataset_falls_back_on_malformed(self, tmp_path):
+        from bmnas_tpu.native.loader import NativeSkeletonParser
+        p = str(tmp_path / "c.skeleton")
+        with open(p, "w") as f:
+            f.write("not a number\n")
+        with pytest.raises(IOError):
+            NativeSkeletonParser().parse(p)

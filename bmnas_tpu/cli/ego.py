@@ -92,6 +92,9 @@ def _add_ego_flags(parser, *, search: bool):
     parser.add_argument('--downsample', type=int, default=1)
     parser.add_argument('--resume', type=str, default=None)
     parser.add_argument('--profile_dir', type=str, default=None)
+    parser.add_argument('--bf16_backbone', action='store_true', default=False,
+                        help='run the frozen 3D conv backbones in bfloat16 '
+                             '(MXU-native; fusion path stays fp32)')
     if not search:
         parser.add_argument('--search_exp_dir', type=str, default=None)
         parser.add_argument('--fused_kernels', action='store_true',
@@ -178,7 +181,10 @@ def run_search(args, logger):
         args, parallel_ctx, stages)
     nbpe = -(-dataset_sizes["train"] // batchsize)  # ceil(N/B) = len(dataloader) semantics (mmimdb_darts_searchable.py:29-30); batchsize is the padded loader batch under --parallel
 
-    model = SearchableRGBDepthNet(**model_kwargs_from_args(args))
+    import jax.numpy as _jnp
+    bdt = _jnp.bfloat16 if getattr(args, 'bf16_backbone', False) else _jnp.float32
+    model = SearchableRGBDepthNet(backbone_dtype=bdt,
+                                  **model_kwargs_from_args(args))
     arch = init_arch_params(jax.random.PRNGKey(args.seed + 1), args.steps,
                             args.num_input_nodes, args.node_steps)
     batch = next(iter(datasets["train"].batches(batchsize, shuffle=False)))
@@ -215,8 +221,11 @@ def run_found(args, logger, genotype, test_model_path=None):
         args, parallel_ctx, stages)
     nbpe = -(-dataset_sizes["train"] // batchsize)  # ceil(N/B) = len(dataloader) semantics (mmimdb_darts_searchable.py:29-30); batchsize is the padded loader batch under --parallel
 
+    import jax.numpy as _jnp
+    bdt = _jnp.bfloat16 if getattr(args, 'bf16_backbone', False) else _jnp.float32
     model = FoundRGBDepthNet.from_genotype(
-        genotype, node_variant=getattr(args, 'node_variant', 'bmnas'),
+        genotype, backbone_dtype=bdt,
+        node_variant=getattr(args, 'node_variant', 'bmnas'),
         fused_eval=getattr(args, 'fused_kernels', False),
         **model_kwargs_from_args(args))
     batch = next(iter(datasets["train"].batches(batchsize, shuffle=False)))

@@ -101,6 +101,9 @@ def _add_ntu_flags(parser, *, search: bool):
                         type=int, nargs='+')
     parser.add_argument('--resume', type=str, default=None)
     parser.add_argument('--profile_dir', type=str, default=None)
+    parser.add_argument('--bf16_backbone', action='store_true', default=False,
+                        help='run the frozen 3D conv backbones in bfloat16 '
+                             '(MXU-native; fusion path stays fp32)')
     parser.add_argument('--remat', action='store_true', default=False,
                         help='rematerialize backbone activations in the '
                              'backward pass (jax.checkpoint) - for found-'
@@ -210,7 +213,10 @@ def run_search(args, logger):
         args, parallel_ctx, stages)
     nbpe = -(-dataset_sizes["train"] // batchsize)  # ceil(N/B) = len(dataloader) semantics (mmimdb_darts_searchable.py:29-30); batchsize is the padded loader batch under --parallel
 
-    model = SearchableSkeletonImageNet(**model_kwargs_from_args(args))
+    import jax.numpy as _jnp
+    bdt = _jnp.bfloat16 if getattr(args, 'bf16_backbone', False) else _jnp.float32
+    model = SearchableSkeletonImageNet(backbone_dtype=bdt,
+                                       **model_kwargs_from_args(args))
     arch = init_arch_params(jax.random.PRNGKey(args.seed + 1), args.steps,
                             args.num_input_nodes, args.node_steps)
     batch = next(iter(datasets["train"].batches(batchsize, shuffle=False)))
@@ -247,8 +253,10 @@ def run_found(args, logger, genotype, test_model_path=None):
         args, parallel_ctx, stages)
     nbpe = -(-dataset_sizes["train"] // batchsize)  # ceil(N/B) = len(dataloader) semantics (mmimdb_darts_searchable.py:29-30); batchsize is the padded loader batch under --parallel
 
+    import jax.numpy as _jnp
+    bdt = _jnp.bfloat16 if getattr(args, 'bf16_backbone', False) else _jnp.float32
     model = FoundSkeletonImageNet.from_genotype(
-        genotype, remat=getattr(args, 'remat', False),
+        genotype, backbone_dtype=bdt, remat=getattr(args, 'remat', False),
         node_variant=getattr(args, 'node_variant', 'bmnas'),
         fused_eval=getattr(args, 'fused_kernels', False),
         **model_kwargs_from_args(args))

@@ -12,7 +12,7 @@ unconditionally. Backbone params are likewise excluded from the optimizer
 """
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Any, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -38,15 +38,18 @@ class SearchableRGBDepthNet(nn.Module):
     num_keep_edges: int
     num_outputs: int
     drpt: float
+    backbone_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, batch, arch, train: bool):
         rgb, depth = batch["rgb"], batch["depth"]
         # backbones in permanent eval mode (ego_darts_searchable.py:122-128)
-        rgb_out = get_rgb_model(self.num_outputs).copy(name="rgb_net")(
-            rgb, False)
-        depth_out = get_depth_model(self.num_outputs).copy(name="depth_net")(
-            depth, False)
+        rgb_out = get_rgb_model(self.num_outputs,
+                                dtype=self.backbone_dtype).copy(
+            name="rgb_net")(rgb, False)
+        depth_out = get_depth_model(self.num_outputs,
+                                    dtype=self.backbone_dtype).copy(
+            name="depth_net")(depth, False)
         feats = list(rgb_out[0:-1]) + list(depth_out[0:-1])
         reshaped = [
             ReshapeInputLayer(C=self.C, L=self.L, drpt=self.drpt,
@@ -77,6 +80,7 @@ class FoundRGBDepthNet(nn.Module):
     genotype: Tuple
     node_variant: str = "bmnas"
     fused_eval: bool = False  # Pallas whole-cell kernel on eval forwards
+    backbone_dtype: Any = jnp.float32
 
     @classmethod
     def from_genotype(cls, genotype: G.Genotype, **kwargs):
@@ -90,10 +94,12 @@ class FoundRGBDepthNet(nn.Module):
     def __call__(self, batch, arch, train: bool):
         del arch
         rgb, depth = batch["rgb"], batch["depth"]
-        rgb_out = get_rgb_model(self.num_outputs).copy(name="rgb_net")(
-            rgb, False)
-        depth_out = get_depth_model(self.num_outputs).copy(name="depth_net")(
-            depth, False)
+        rgb_out = get_rgb_model(self.num_outputs,
+                                dtype=self.backbone_dtype).copy(
+            name="rgb_net")(rgb, False)
+        depth_out = get_depth_model(self.num_outputs,
+                                    dtype=self.backbone_dtype).copy(
+            name="depth_net")(depth, False)
         feats = list(rgb_out[0:-1]) + list(depth_out[0:-1])
         used = self._referenced_inputs()
         reshaped = []

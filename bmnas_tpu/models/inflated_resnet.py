@@ -17,7 +17,7 @@ ResNet-50 checkpoint; random init otherwise.
 """
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Any, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -26,31 +26,37 @@ from bmnas_tpu.ops.layers import BatchNorm
 
 
 class Bottleneck3D(nn.Module):
-    """resnet/bottleneck.py:4-42. Spatial-only stride (1, s, s)."""
+    """resnet/bottleneck.py:4-42. Spatial-only stride (1, s, s).
+
+    ``dtype=jnp.bfloat16`` runs the convs on the MXU in bf16 (params fp32;
+    flax BatchNorm always reduces its statistics in fp32)."""
     planes: int
     stride: int = 1
     downsample: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
         residual = x
-        out = nn.Conv(self.planes, (1, 1, 1), use_bias=False, name="conv1")(x)
+        out = nn.Conv(self.planes, (1, 1, 1), use_bias=False,
+                      dtype=self.dtype, name="conv1")(x)
         out = BatchNorm(name="bn1")(out, train)
         out = nn.relu(out)
         out = nn.Conv(self.planes, (3, 3, 3),
-                      strides=(1, self.stride, self.stride),
-                      padding=1, use_bias=False, name="conv2")(out)
+                      strides=(1, self.stride, self.stride), padding=1,
+                      use_bias=False, dtype=self.dtype, name="conv2")(out)
         out = BatchNorm(name="bn2")(out, train)
         out = nn.relu(out)
         out = nn.Conv(self.planes * 4, (1, 1, 1), use_bias=False,
-                      name="conv3")(out)
+                      dtype=self.dtype, name="conv3")(out)
         out = BatchNorm(name="bn3")(out, train)
         if self.downsample:
             residual = nn.Conv(self.planes * 4, (1, 1, 1),
                                strides=(1, self.stride, self.stride),
-                               use_bias=False, name="downsample_conv")(x)
+                               use_bias=False, dtype=self.dtype,
+                               name="downsample_conv")(x)
             residual = BatchNorm(name="downsample_bn")(residual, train)
-        return nn.relu(out + residual)
+        return nn.relu(out + residual.astype(out.dtype))
 
 
 class InflatedResNet50(nn.Module):
@@ -65,14 +71,15 @@ class InflatedResNet50(nn.Module):
     layers: Tuple[int, ...] = (3, 4, 6, 3)
     channels: Tuple[int, ...] = (64, 128, 256, 512)
     remat: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool):
         B, T, H, W, C = x.shape
         # 2D stem per frame: fold T into batch (transform_input equivalent).
-        h = x.reshape(B * T, H, W, C)
+        h = x.astype(self.dtype).reshape(B * T, H, W, C)
         h = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
-                    name="conv1")(h)
+                    dtype=self.dtype, name="conv1")(h)
         h = BatchNorm(name="bn1")(h, train)
         h = nn.relu(h)
         h = nn.max_pool(h, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
@@ -88,7 +95,8 @@ class InflatedResNet50(nn.Module):
                 s = stride if b == 0 else 1
                 need_ds = b == 0 and (s != 1 or inplanes != planes * 4)
                 h = block_cls(planes=planes, stride=s, downsample=need_ds,
+                              dtype=self.dtype,
                               name=f"layer{stage+1}_{b}")(h, train)
             inplanes = planes * 4
-            taps.append(h)
+            taps.append(h.astype(jnp.float32))  # fusion path stays fp32
         return tuple(taps)  # fm1 (256c), fm2 (512c), fm3 (1024c), fm4 (2048c)

@@ -17,7 +17,7 @@ NTU_SEARCH_FROZEN_PREFIXES includes the reshape layers.
 """
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Any, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -41,13 +41,18 @@ NTU_EVAL_FROZEN_PREFIXES = ()
 
 class Visual(nn.Module):
     """Inflated ResNet-50 + temporal pooling + classifier
-    (central/ntu.py:7-40). Returns (fm1, fm2, fm3, fm4, pooled, logits)."""
+    (central/ntu.py:7-40). Returns (fm1, fm2, fm3, fm4, pooled, logits).
+
+    ``dtype=jnp.bfloat16`` runs the 3D conv stack in bf16 on the MXU
+    (params/BN stats fp32; stage taps cast back to fp32)."""
     num_outputs: int
     remat: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool):
         fm1, fm2, fm3, fm4 = InflatedResNet50(remat=self.remat,
+                                              dtype=self.dtype,
                                               name="cnn")(x, train)
         # avgpool over (T=8, 7, 7) -> (B, 2048) (central/ntu.py:12,16-21)
         pooled = jnp.mean(fm4, axis=(1, 2, 3))
@@ -74,11 +79,13 @@ class SearchableSkeletonImageNet(nn.Module):
     num_outputs: int
     drpt: float
     remat: bool = False
+    backbone_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, batch, arch, train: bool):
         image, skeleton = batch["image"], batch["skeleton"]
         rgb_out = Visual(self.num_outputs, remat=self.remat,
+                         dtype=self.backbone_dtype,
                          name="rgbnet")(image, train)
         ske_out = HCN(self.num_outputs, self.drpt, name="skenet")(skeleton, train)
         feats = _ntu_features(rgb_out, ske_out)
@@ -113,6 +120,7 @@ class FoundSkeletonImageNet(nn.Module):
     remat: bool = False
     node_variant: str = "bmnas"
     fused_eval: bool = False  # Pallas whole-cell kernel on eval forwards
+    backbone_dtype: Any = jnp.float32
 
     @classmethod
     def from_genotype(cls, genotype: G.Genotype, **kwargs):
@@ -127,6 +135,7 @@ class FoundSkeletonImageNet(nn.Module):
         del arch
         image, skeleton = batch["image"], batch["skeleton"]
         rgb_out = Visual(self.num_outputs, remat=self.remat,
+                         dtype=self.backbone_dtype,
                          name="rgbnet")(image, train)
         ske_out = HCN(self.num_outputs, self.drpt, name="skenet")(skeleton, train)
         feats = _ntu_features(rgb_out, ske_out)

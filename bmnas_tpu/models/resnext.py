@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from typing import Tuple
 
+from typing import Any
+
 import flax.linen as nn
 import jax.numpy as jnp
 
@@ -30,28 +32,30 @@ class ResNeXtBottleneck(nn.Module):
     stride: int = 1
     downsample: bool = False
     expansion: int = 2
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
         mid = self.cardinality * (self.planes // 32)
         residual = x
-        out = nn.Conv(mid, (1, 1, 1), use_bias=False, name="conv1")(x)
+        out = nn.Conv(mid, (1, 1, 1), use_bias=False, dtype=self.dtype,
+                      name="conv1")(x)
         out = BatchNorm(name="bn1")(out, train)
         out = nn.relu(out)
         out = nn.Conv(mid, (3, 3, 3), strides=self.stride, padding=1,
                       feature_group_count=self.cardinality, use_bias=False,
-                      name="conv2")(out)
+                      dtype=self.dtype, name="conv2")(out)
         out = BatchNorm(name="bn2")(out, train)
         out = nn.relu(out)
         out = nn.Conv(self.planes * self.expansion, (1, 1, 1), use_bias=False,
-                      name="conv3")(out)
+                      dtype=self.dtype, name="conv3")(out)
         out = BatchNorm(name="bn3")(out, train)
         if self.downsample:
             residual = nn.Conv(self.planes * self.expansion, (1, 1, 1),
                                strides=self.stride, use_bias=False,
-                               name="downsample_conv")(x)
+                               dtype=self.dtype, name="downsample_conv")(x)
             residual = BatchNorm(name="downsample_bn")(residual, train)
-        return nn.relu(out + residual)
+        return nn.relu(out + residual.astype(out.dtype))
 
 
 class ResNeXt3D(nn.Module):
@@ -62,13 +66,14 @@ class ResNeXt3D(nn.Module):
     cardinality: int = 32
     in_channels: int = 3       # 3 RGB / 1 Depth / 4 RGB-D
     stem_kernel_t: int = 3     # RGB surgery uses (3,7,7); original is (7,7,7)
+    dtype: Any = jnp.float32   # bf16 => MXU conv stack, fp32 taps/params
 
     @nn.compact
     def __call__(self, x, train: bool):
         pad_t = self.stem_kernel_t // 2
         h = nn.Conv(64, (self.stem_kernel_t, 7, 7), strides=(1, 2, 2),
                     padding=((pad_t, pad_t), (3, 3), (3, 3)), use_bias=False,
-                    name="conv1")(x)
+                    dtype=self.dtype, name="conv1")(x.astype(self.dtype))
         h = BatchNorm(name="bn1")(h, train)
         h = nn.relu(h)
         h = nn.max_pool(h, (3, 3, 3), strides=(2, 2, 2),
@@ -83,9 +88,10 @@ class ResNeXt3D(nn.Module):
                 need_ds = b == 0 and (s != 1 or inplanes != planes * 2)
                 h = ResNeXtBottleneck(
                     planes=planes, cardinality=self.cardinality, stride=s,
-                    downsample=need_ds, name=f"layer{stage+1}_{b}")(h, train)
+                    downsample=need_ds, dtype=self.dtype,
+                    name=f"layer{stage+1}_{b}")(h, train)
             inplanes = planes * 2
-            taps.append(h)
+            taps.append(h.astype(jnp.float32))  # fusion path stays fp32
 
         _x1, x2, x3, x4 = taps
         pooled = jnp.mean(x4, axis=(1, 2, 3))      # (B, 2048)
@@ -93,16 +99,19 @@ class ResNeXt3D(nn.Module):
         return x2, x3, x4, pooled, logits
 
 
-def get_rgb_model(num_outputs: int) -> ResNeXt3D:
+def get_rgb_model(num_outputs: int, dtype: Any = jnp.float32) -> ResNeXt3D:
     """ego.py:218-221 + _modify_first_conv_layer(model, 3, 3)."""
-    return ResNeXt3D(num_outputs=num_outputs, in_channels=3, stem_kernel_t=3)
+    return ResNeXt3D(num_outputs=num_outputs, in_channels=3, stem_kernel_t=3,
+                     dtype=dtype)
 
 
-def get_depth_model(num_outputs: int) -> ResNeXt3D:
+def get_depth_model(num_outputs: int, dtype: Any = jnp.float32) -> ResNeXt3D:
     """ego.py:223-226 + _construct_depth_model (1-channel, original 7^3 stem)."""
-    return ResNeXt3D(num_outputs=num_outputs, in_channels=1, stem_kernel_t=7)
+    return ResNeXt3D(num_outputs=num_outputs, in_channels=1, stem_kernel_t=7,
+                     dtype=dtype)
 
 
-def get_rgbd_model(num_outputs: int) -> ResNeXt3D:
+def get_rgbd_model(num_outputs: int, dtype: Any = jnp.float32) -> ResNeXt3D:
     """ego.py:256-280 (4-channel stem)."""
-    return ResNeXt3D(num_outputs=num_outputs, in_channels=4, stem_kernel_t=7)
+    return ResNeXt3D(num_outputs=num_outputs, in_channels=4, stem_kernel_t=7,
+                     dtype=dtype)

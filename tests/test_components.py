@@ -179,3 +179,39 @@ class TestPrefetch:
 
         with pytest.raises(RuntimeError, match="loader boom"):
             list(device_prefetch(gen(), size=2))
+
+
+def test_bf16_backbones_close_to_fp32():
+    """--bf16_backbone for NTU/ego: bf16 conv stacks (fp32 params/taps) give
+    logits close to the fp32 path — same param tree, no retracing issues."""
+    import jax
+    import jax.numpy as jnp
+
+    from bmnas_tpu.models.ntu import SearchableSkeletonImageNet
+    from bmnas_tpu.models.supernet import init_arch_params
+
+    cfg = dict(C=8, L=4, steps=2, multiplier=2, node_steps=1,
+               node_multiplier=1, num_input_nodes=8, num_keep_edges=2,
+               num_outputs=6, drpt=0.0)
+    rng = np.random.RandomState(0)
+    batch = {
+        "image": jnp.asarray(rng.rand(2, 4, 32, 32, 3).astype(np.float32)),
+        "skeleton": jnp.asarray(rng.randn(2, 16, 25, 2, 3).astype(np.float32)),
+        "label": jnp.asarray([1, 2], jnp.int32),
+    }
+    arch = init_arch_params(jax.random.PRNGKey(1), 2, 8, 1)
+    m32 = SearchableSkeletonImageNet(**cfg)
+    m16 = SearchableSkeletonImageNet(backbone_dtype=jnp.bfloat16, **cfg)
+    variables = m32.init({"params": jax.random.PRNGKey(0),
+                          "dropout": jax.random.PRNGKey(2)},
+                         batch, arch, False)
+    # identical param tree: bf16 is a compute dtype, not a storage dtype
+    v16 = m16.init({"params": jax.random.PRNGKey(0),
+                    "dropout": jax.random.PRNGKey(2)}, batch, arch, False)
+    assert jax.tree_util.tree_structure(variables) \
+        == jax.tree_util.tree_structure(v16)
+    out32 = m32.apply(variables, batch, arch, False)
+    out16 = m16.apply(variables, batch, arch, False)
+    assert out16.dtype == jnp.float32  # fusion/classifier stay fp32
+    np.testing.assert_allclose(np.asarray(out16), np.asarray(out32),
+                               rtol=0.1, atol=0.15)

@@ -89,3 +89,84 @@ def test_serve_missing_artifacts_fails_fast(tmp_path, artifacts):
     (tmp_path / "best").mkdir()
     with pytest.raises(SystemExit, match="no genotype"):
         _serve(data, str(tmp_path))
+
+
+NTU_GENO = Genotype(
+    edges=[("skip", 2), ("skip", 5), ("skip", 3), ("skip", 4)],
+    concat=[8, 9],
+    steps=[StepGenotype([("skip", 0), ("skip", 1)], ["Sum"], [2]),
+           StepGenotype([("skip", 1), ("skip", 0)], ["ConcatFC"], [2])],
+)
+
+
+def test_serve_ntu_task(tmp_path):
+    """main_serve --task ntu: dataset branch, model branch, accuracy metric."""
+    from bmnas_tpu.cli.serve import main_serve
+    from bmnas_tpu.data.synthetic import make_ntu_synthetic
+    from bmnas_tpu.models.ntu import FoundSkeletonImageNet
+
+    data = tmp_path / "data"
+    make_ntu_synthetic(str(data), n_videos_per_subject=2,
+                       subjects=(3, 6), num_actions=6, hw=32, frames=40)
+    cfg = dict(C=8, L=4, steps=2, multiplier=2, node_steps=1,
+               node_multiplier=1, num_input_nodes=8, num_keep_edges=2,
+               num_outputs=6, drpt=0.0)
+    model = FoundSkeletonImageNet.from_genotype(NTU_GENO, **cfg)
+    batch = {"image": jnp.zeros((2, 8, 32, 32, 3)),
+             "skeleton": jnp.zeros((2, 32, 25, 2, 3))}
+    variables = model.init(jax.random.PRNGKey(0), batch, None, False)
+    best = tmp_path / "exp" / "best"
+    best.mkdir(parents=True)
+    save_genotype(NTU_GENO, str(best / "best_genotype.pkl"))
+    save_model(str(best / "best_model.pt"), variables["params"],
+               variables["batch_stats"])
+
+    result = main_serve(
+        ["--task", "ntu", "--eval_exp_dir", str(tmp_path / "exp"),
+         "--datadir", str(data), "--small_dataset", "--batchsize", "2",
+         "--C", "8", "--L", "4", "--num_outputs", "6",
+         "--node_steps", "1", "--node_multiplier", "1",
+         "--num_workers", "2"])
+    assert result["metric"] == "accuracy"
+    assert 0.0 <= result["value"] <= 1.0
+    assert result["samples"] == 4
+
+
+def test_serve_ego_task(tmp_path):
+    """main_serve --task ego: annotation plumbing + RGB-D split serving."""
+    from bmnas_tpu.cli.serve import main_serve
+    from bmnas_tpu.data.synthetic import make_ego_synthetic
+    from bmnas_tpu.models.ego import FoundRGBDepthNet
+
+    ann = make_ego_synthetic(str(tmp_path / "data"), n_per_subset=3,
+                             num_classes=5, hw=40, frames=10)
+    geno = Genotype(
+        edges=[("skip", 0), ("skip", 4), ("skip", 1), ("skip", 5)],
+        concat=[8, 9],
+        steps=[StepGenotype([("skip", 0), ("skip", 1)], ["Sum"], [2]),
+               StepGenotype([("skip", 0), ("skip", 1)], ["LinearGLU"], [2])],
+    )
+    cfg = dict(C=8, L=4, steps=2, multiplier=2, node_steps=1,
+               node_multiplier=1, num_input_nodes=8, num_keep_edges=2,
+               num_outputs=5, drpt=0.0)
+    model = FoundRGBDepthNet.from_genotype(geno, **cfg)
+    batch = {"rgb": jnp.zeros((2, 4, 32, 32, 3)),
+             "depth": jnp.zeros((2, 4, 32, 32, 1))}
+    variables = model.init(jax.random.PRNGKey(0), batch, None, False)
+    best = tmp_path / "exp" / "best"
+    best.mkdir(parents=True)
+    save_genotype(geno, str(best / "best_genotype.pkl"))
+    save_model(str(best / "best_model.pt"), variables["params"],
+               variables["batch_stats"])
+
+    result = main_serve(
+        ["--task", "ego", "--eval_exp_dir", str(tmp_path / "exp"),
+         "--datadir", str(tmp_path / "data"),
+         "--checkpointdir", os.path.dirname(ann),
+         "--annotation", os.path.basename(ann),
+         "--small_dataset", "--batchsize", "2", "--C", "8", "--L", "4",
+         "--num_outputs", "5", "--node_steps", "1", "--node_multiplier", "1",
+         "--sample_size", "32", "--sample_duration", "4",
+         "--num_workers", "2"])
+    assert result["metric"] == "accuracy"
+    assert result["samples"] == 3

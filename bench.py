@@ -128,10 +128,12 @@ def measure_ntu_found(batch=48, iters=60, warm=8):
     """NTU found-phase weight step at reference shape: the heaviest workload
     the reference ships (main_darts_found_ntu.py:122-139 — training the WHOLE
     net incl. the inflated-3D ResNet-50 and HCN backbones; clips (B,8,256,
-    256,3), skeletons (B,32,25,2,3), C=128, L=8). batch=96 needs 22.9 GB and
-    OOMs one 16 GB chip (the reference needs ~128 GB aggregate GPU for 96,
-    README.md:66); batch 48 + remat fits and is the single-chip showcase —
-    an 8-chip --parallel mesh takes 96 with headroom."""
+    256,3), skeletons (B,32,25,2,3), C=128, L=8). batch=96 needs 22.9 GB fp32
+    / 19.6 GB bf16 and OOMs one 16 GB chip (the reference needs ~128 GB
+    aggregate GPU for 96, README.md:66); batch 48 + remat + --bf16_backbone
+    fits and is the fastest single-chip config (99.8 vs 80.9 samples/s fp32;
+    batch 64 bf16 = 97.6) — an 8-chip --parallel mesh takes 96 with
+    headroom."""
     from bmnas_tpu.genotype import Genotype, StepGenotype
     from bmnas_tpu.models.ntu import FoundSkeletonImageNet
     from bmnas_tpu.search.bilevel import (
@@ -148,9 +150,9 @@ def measure_ntu_found(batch=48, iters=60, warm=8):
                StepGenotype([("skip", 1), ("skip", 0)], ["LinearGLU"], [2])],
         concat=[8, 9])
     model = FoundSkeletonImageNet.from_genotype(
-        geno, remat=True, C=128, L=8, steps=2, multiplier=2, node_steps=1,
-        node_multiplier=1, num_input_nodes=8, num_keep_edges=2,
-        num_outputs=60, drpt=0.0)
+        geno, remat=True, backbone_dtype=jnp.bfloat16, C=128, L=8, steps=2,
+        multiplier=2, node_steps=1, node_multiplier=1, num_input_nodes=8,
+        num_keep_edges=2, num_outputs=60, drpt=0.0)
 
     def mk(seed):
         r = np.random.RandomState(seed)
@@ -207,9 +209,10 @@ def main():
             "ntu_found_samples_per_sec": round(ntu_sps, 2),
             "ntu_found_step_ms": round(ntu_step * 1e3, 2),
             "ntu_found_batch": 48,
-            "ntu_found_note": "whole-net training incl. 3D backbones, remat;"
-                              " batch 96 = 22.9GB > one 16GB chip (reference"
-                              " needs ~128GB aggregate, README.md:66)",
+            "ntu_found_note": "whole-net training incl. 3D backbones, remat +"
+                              " bf16 backbone; batch 96 = 19.6GB bf16 > one"
+                              " 16GB chip (reference needs ~128GB aggregate,"
+                              " README.md:66)",
         }
     except Exception as e:  # keep the headline artifact robust
         ntu_detail = {"ntu_found_error": f"{type(e).__name__}: {e}"[:200]}

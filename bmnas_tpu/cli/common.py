@@ -73,6 +73,16 @@ def add_common_flags(parser: argparse.ArgumentParser, *, datadir_default: str,
     parser.add_argument('--bf16_backbone', action='store_true', default=False,
                         help='run the frozen image backbone in bfloat16 '
                              '(MXU-native; fusion path stays fp32)')
+    parser.add_argument('--device_data_cache', action='store_true',
+                        default=False,
+                        help='upload the whole dataset to HBM once and '
+                             'gather batches on device (zero per-epoch '
+                             'host->device traffic; needs the splits to fit '
+                             'in HBM - MM-IMDB does, video tasks do not)')
+    parser.add_argument('--steps_per_dispatch', type=int, default=1,
+                        help='fuse k sequential train/eval steps into one '
+                             'device dispatch (lax.scan) - identical math, '
+                             'amortizes host dispatch latency')
     parser.add_argument('--unrolled', action='store_true', default=False,
                         help='second-order DARTS arch updates (exact '
                              'unrolled differentiation through a virtual '

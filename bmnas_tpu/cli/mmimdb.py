@@ -122,6 +122,56 @@ def _first_batch(datasets, batchsize):
 
 
 
+
+
+def _build_device_cache(args, datasets, batchsize, logger, phases):
+    """--device_data_cache: per-split device-resident arrays + the exact
+    index order the streaming loader would have used (bit-identical batches).
+
+    Images are cached in the backbone compute dtype — with --bf16_backbone
+    that is bf16 (the model casts them there anyway), halving HBM footprint
+    (full MM-IMDB train split: 3.8 GB bf16)."""
+    import jax
+    import jax.numpy as jnp
+    import ml_dtypes
+
+    img_dtype = (ml_dtypes.bfloat16 if getattr(args, "bf16_backbone", False)
+                 else np.float32)
+    caches = {}
+    for phase in phases:
+        ds = datasets[phase]
+        imgs, txts, labs = [], [], []
+        for b in ds.batches(256, shuffle=False, pad_to_full=False):
+            n = int(b["mask"].sum())
+            imgs.append(b["image"][:n].astype(img_dtype))
+            txts.append(b["text"][:n])
+            labs.append(b["label"][:n])
+        caches[phase] = {
+            "image": jax.device_put(np.concatenate(imgs)),
+            "text": jax.device_put(np.concatenate(txts)),
+            "label": jax.device_put(np.concatenate(labs)),
+        }
+        if logger is not None:
+            nbytes = sum(int(np.prod(v.shape)) * v.dtype.itemsize
+                         for v in caches[phase].values())
+            logger.info("device cache [%s]: %d samples, %.2f GB HBM",
+                        phase, len(ds), nbytes / 2**30)
+
+    def indices(phase, epoch):
+        # mirror the streaming loader: same seed stream, same order, final
+        # batch padded (index -1 -> zero row + mask 0 in the gather)
+        n = len(datasets[phase])
+        order = np.arange(n)
+        seed = (args.seed * 1000003 + epoch * 131 + hash(phase) % 97)
+        np.random.RandomState(seed % (2**32)).shuffle(order)
+        n_b = -(-n // batchsize)
+        padded = np.full(n_b * batchsize, -1, np.int32)
+        padded[:n] = order
+        return padded.reshape(n_b, batchsize)
+
+    return {"caches": caches, "indices": indices}
+
+
 def run_search(args, logger):
     """Bilevel search (mmimdb_darts_searchable.py:19-55)."""
     parallel_ctx = maybe_parallel(args)
@@ -152,12 +202,20 @@ def run_search(args, logger):
 
     state = apply_resume(state, scheduler, args, logger)
 
+    device_cache = gather_fns = None
+    if getattr(args, "device_data_cache", False):
+        from bmnas_tpu.search.bilevel import build_gather_step_functions
+        device_cache = _build_device_cache(args, datasets, batchsize, logger,
+                                           ("train", "dev"))
+        gather_fns = build_gather_step_functions(fns)
+
     best_f1, best_genotype, state = train_loop.run_training(
         task="mmimdb", status="search", fns=fns, state=state,
         scheduler=scheduler, loaders=loaders, dataset_sizes=dataset_sizes,
         num_epochs=args.epochs, metric="f1", f1_type=args.f1_type,
         args=args, logger=logger, plotter=Plotter(args),
-        genotype_fn=genotype_fn)
+        genotype_fn=genotype_fn, device_cache=device_cache,
+        gather_fns=gather_fns)
     return best_f1, best_genotype
 
 

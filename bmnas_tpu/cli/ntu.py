@@ -101,6 +101,8 @@ def _add_ntu_flags(parser, *, search: bool):
                         type=int, nargs='+')
     parser.add_argument('--resume', type=str, default=None)
     parser.add_argument('--profile_dir', type=str, default=None)
+    parser.add_argument('--steps_per_dispatch', type=int, default=1,
+                        help='fuse k sequential steps into one device dispatch')
     parser.add_argument('--bf16_backbone', action='store_true', default=False,
                         help='run the frozen 3D conv backbones in bfloat16 '
                              '(MXU-native; fusion path stays fp32)')

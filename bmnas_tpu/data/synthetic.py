@@ -16,16 +16,20 @@ from bmnas_tpu.data.mmimdb import NUM_CLASSES, TEXT_DIM
 
 def make_mmimdb_synthetic(root: str, n_per_stage: int = 8,
                           image_hw=(32, 32), seed: int = 0,
-                          correlated: bool = False) -> str:
+                          correlated: bool = False,
+                          counts: dict = None) -> str:
     """``correlated=True`` makes label k a function of text block k's mean —
     a learnable rule, so end-to-end runs can demonstrate metric improvement
-    rather than chance-level noise."""
+    rather than chance-level noise. ``counts`` overrides the per-stage sample
+    count (e.g. the reference split sizes {'train': 15552, 'dev': 2608,
+    'test': 7799}) for full-scale wall-clock runs."""
     rng = np.random.RandomState(seed)
     block = TEXT_DIM // NUM_CLASSES
     for stage in ("train", "dev", "test"):
         d = os.path.join(root, stage)
         os.makedirs(d, exist_ok=True)
-        for i in range(n_per_stage):
+        n_stage = counts.get(stage, n_per_stage) if counts else n_per_stage
+        for i in range(n_stage):
             img = rng.randn(*image_hw, 3).astype(np.float32)
             txt = rng.randn(TEXT_DIM).astype(np.float32)
             if correlated:

@@ -75,6 +75,9 @@ def run_training(
     fusion_param_keys: Callable[[str], bool] = None,
     save_resume: bool = True,
     profile_dir: Optional[str] = None,
+    device_cache=None,                 # {'caches': {phase: pytree},
+                                       #  'indices': fn(phase, epoch) -> (n,B)}
+    gather_fns: StepFunctions = None,  # build_gather_step_functions(fns)
 ):
     """Returns (best_metric, best_genotype, state). In search mode the best
     is tracked on dev; in eval mode on test (train_searchable/mmimdb.py:202-205)."""
@@ -117,26 +120,78 @@ def run_training(
                 unrolled = (arch_steps and getattr(args, "unrolled", False)
                             and fns.arch_step_unrolled is not None)
                 train_iter = iter(loaders["train"](epoch)) if unrolled else None
+                # --steps_per_dispatch k>1: run k sequential steps per device
+                # call via the scanned step variants — amortizes dispatch
+                # latency (dominant for small per-step compute and/or
+                # high-RTT device links). Exact same math and PRNG stream.
+                spd = max(1, int(getattr(args, "steps_per_dispatch", 1)))
 
                 counts_total = None
-                for batch in loaders[phase](epoch):
-                    if unrolled:
-                        try:
-                            tb = next(train_iter)
-                        except StopIteration:
-                            train_iter = iter(loaders["train"](epoch))
-                            tb = next(train_iter)
-                        state, counts = fns.arch_step_unrolled(
-                            state, batch, tb, np.float32(scheduler.eta))
-                    elif arch_steps:
-                        state, counts = fns.arch_step(state, batch)
-                    elif trains_weights:
-                        eta = scheduler.step()
-                        state, counts = fns.weight_step(
-                            state, batch, np.float32(eta))
-                    else:
-                        counts = fns.eval_step(state, batch)
-                    counts_total = _accumulate(counts_total, counts)
+                use_cache = (device_cache is not None and gather_fns is not None
+                             and not unrolled
+                             and phase in device_cache["caches"])
+                if use_cache:
+                    # --device_data_cache: dataset lives in HBM; steps gather
+                    # their batches on device from tiny index arrays (zero
+                    # per-epoch H2D traffic). Chunked by steps_per_dispatch.
+                    import jax.numpy as jnp
+                    cache = device_cache["caches"][phase]
+                    idxs_all = device_cache["indices"](phase, epoch)
+                    for start in range(0, len(idxs_all), spd):
+                        idx = jnp.asarray(idxs_all[start:start + spd])
+                        k = idx.shape[0]
+                        if arch_steps:
+                            state, counts = gather_fns.arch_step_many(
+                                state, cache, idx)
+                        elif trains_weights:
+                            etas = np.asarray(
+                                [scheduler.step() for _ in range(k)],
+                                np.float32)
+                            state, counts = gather_fns.weight_step_many(
+                                state, cache, idx, etas)
+                        else:
+                            counts = gather_fns.eval_step_many(
+                                state, cache, idx)
+                        counts_total = _accumulate(counts_total, counts)
+                elif spd > 1 and fns.weight_step_many is not None:
+                    import itertools
+                    import jax.numpy as jnp
+                    it = iter(loaders[phase](epoch))
+                    while True:
+                        chunk = list(itertools.islice(it, spd))
+                        if not chunk:
+                            break
+                        stacked = jax.tree_util.tree_map(
+                            lambda *xs: jnp.stack(xs), *chunk)
+                        if arch_steps:
+                            state, counts = fns.arch_step_many(state, stacked)
+                        elif trains_weights:
+                            etas = np.asarray(
+                                [scheduler.step() for _ in chunk], np.float32)
+                            state, counts = fns.weight_step_many(
+                                state, stacked, etas)
+                        else:
+                            counts = fns.eval_step_many(state, stacked)
+                        counts_total = _accumulate(counts_total, counts)
+                else:
+                    for batch in loaders[phase](epoch):
+                        if unrolled:
+                            try:
+                                tb = next(train_iter)
+                            except StopIteration:
+                                train_iter = iter(loaders["train"](epoch))
+                                tb = next(train_iter)
+                            state, counts = fns.arch_step_unrolled(
+                                state, batch, tb, np.float32(scheduler.eta))
+                        elif arch_steps:
+                            state, counts = fns.arch_step(state, batch)
+                        elif trains_weights:
+                            eta = scheduler.step()
+                            state, counts = fns.weight_step(
+                                state, batch, np.float32(eta))
+                        else:
+                            counts = fns.eval_step(state, batch)
+                        counts_total = _accumulate(counts_total, counts)
 
                 epoch_loss, epoch_metric = _finalize_metric(
                     counts_total, metric, f1_type, dataset_sizes[phase])

@@ -253,3 +253,59 @@ class TestUnrolledDarts:
             lambda a, b: float(jnp.abs(a - b).max()),
             s_first.arch, s_unrolled.arch)
         assert max(jax.tree_util.tree_leaves(diffs)) > 0
+
+
+class TestStepsPerDispatch:
+    """--steps_per_dispatch: scanned k-step dispatches == k sequential
+    single-step calls (same state trajectory, PRNG stream, summed counts)."""
+
+    def test_weight_many_matches_sequential(self, setup):
+        model, variables, arch, _ = setup
+        state_a, fns = make_state(model, variables, arch)
+        state_b, _ = make_state(model, variables, arch)
+        batches = [synthetic_batch(b=2, key=k) for k in range(4)]
+        etas = np.asarray([1e-3, 9e-4, 8e-4, 7e-4], np.float32)
+
+        counts_seq = None
+        for b, eta in zip(batches, etas):
+            state_a, c = fns.weight_step(state_a, b, np.float32(eta))
+            counts_seq = c if counts_seq is None else jax.tree_util.tree_map(
+                lambda x, y: x + y, counts_seq, c)
+
+        stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *batches)
+        state_b, counts_many = fns.weight_step_many(state_b, stacked, etas)
+
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7),
+            state_a.params, state_b.params)
+        np.testing.assert_allclose(float(counts_seq["loss_sum"]),
+                                   float(counts_many["loss_sum"]), rtol=1e-6)
+        # PRNG stream advanced identically
+        np.testing.assert_array_equal(np.asarray(state_a.rng),
+                                      np.asarray(state_b.rng))
+
+    def test_arch_many_matches_sequential(self, setup):
+        model, variables, arch, _ = setup
+        state_a, fns = make_state(model, variables, arch)
+        state_b, _ = make_state(model, variables, arch)
+        batches = [synthetic_batch(b=2, key=10 + k) for k in range(3)]
+        for b in batches:
+            state_a, _ = fns.arch_step(state_a, b)
+        stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *batches)
+        state_b, _ = fns.arch_step_many(state_b, stacked)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7),
+            state_a.arch, state_b.arch)
+
+    def test_eval_many_matches_sequential(self, setup):
+        model, variables, arch, _ = setup
+        state, fns = make_state(model, variables, arch)
+        batches = [synthetic_batch(b=2, key=20 + k) for k in range(3)]
+        total = 0.0
+        for b in batches:
+            total += float(fns.eval_step(state, b)["loss_sum"])
+        stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *batches)
+        many = fns.eval_step_many(state, stacked)
+        np.testing.assert_allclose(total, float(many["loss_sum"]), rtol=1e-6)

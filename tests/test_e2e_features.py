@@ -82,3 +82,50 @@ def test_unrolled_search_cli(data_root, tmp_path):
         assert os.path.exists(os.path.join(exp, "best", "best_genotype.pkl"))
     finally:
         os.chdir(cwd)
+
+
+def test_steps_per_dispatch_cli_identical_results(data_root, tmp_path):
+    """--steps_per_dispatch 4 through the full search CLI produces the
+    identical genotype and dev F1 as the default per-step path."""
+    import glob
+
+    from bmnas_tpu.cli.mmimdb import main_search
+    cwd = os.getcwd()
+    results = []
+    for sub, extra in (("a", []), ("b", ["--steps_per_dispatch", "4"])):
+        d = tmp_path / sub
+        d.mkdir()
+        os.chdir(d)
+        try:
+            results.append(main_search(
+                ["--datadir", data_root] + TINY + extra))
+        finally:
+            os.chdir(cwd)
+    (f1_a, gen_a), (f1_b, gen_b) = results
+    assert repr(gen_a) == repr(gen_b)
+    np.testing.assert_allclose(f1_a, f1_b, rtol=1e-6)
+
+
+def test_device_data_cache_cli_identical_results(data_root, tmp_path):
+    """--device_data_cache (+ chunked dispatch) must reproduce the streaming
+    loader's genotype and dev F1 exactly — same shuffle order, same padded
+    final batch semantics (zero rows + mask), same PRNG stream."""
+    import glob
+
+    from bmnas_tpu.cli.mmimdb import main_search
+    cwd = os.getcwd()
+    results = []
+    for sub, extra in (("a", []),
+                       ("b", ["--device_data_cache",
+                              "--steps_per_dispatch", "3"])):
+        d = tmp_path / sub
+        d.mkdir()
+        os.chdir(d)
+        try:
+            results.append(main_search(
+                ["--datadir", data_root] + TINY + extra))
+        finally:
+            os.chdir(cwd)
+    (f1_a, gen_a), (f1_b, gen_b) = results
+    assert repr(gen_a) == repr(gen_b)
+    np.testing.assert_allclose(f1_a, f1_b, rtol=1e-6)

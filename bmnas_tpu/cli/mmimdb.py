@@ -256,12 +256,20 @@ def run_found(args, logger, genotype, test_model_path=None):
 
     state = apply_resume(state, scheduler, args, logger)
 
+    device_cache = gather_fns = None
+    if getattr(args, "device_data_cache", False):
+        from bmnas_tpu.search.bilevel import build_gather_step_functions
+        device_cache = _build_device_cache(args, datasets, batchsize, logger,
+                                           ("train", "dev", "test"))
+        gather_fns = build_gather_step_functions(fns)
+
     best_f1, _, state = train_loop.run_training(
         task="mmimdb", status="eval", fns=fns, state=state,
         scheduler=scheduler, loaders=loaders, dataset_sizes=dataset_sizes,
         num_epochs=args.epochs, metric="f1", f1_type=args.f1_type,
         args=args, logger=logger, plotter=Plotter(args),
-        genotype_fn=lambda st: genotype)
+        genotype_fn=lambda st: genotype, device_cache=device_cache,
+        gather_fns=gather_fns)
     return best_f1
 
 

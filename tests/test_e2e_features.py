@@ -129,3 +129,24 @@ def test_device_data_cache_cli_identical_results(data_root, tmp_path):
     (f1_a, gen_a), (f1_b, gen_b) = results
     assert repr(gen_a) == repr(gen_b)
     np.testing.assert_allclose(f1_a, f1_b, rtol=1e-6)
+
+
+def test_device_data_cache_found_phase(data_root, tmp_path):
+    """--device_data_cache through the found (eval) CLI: train/dev/test all
+    gather from HBM; final F1 matches the streaming path."""
+    import glob
+
+    from bmnas_tpu.cli.mmimdb import main_found, main_search
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        main_search(["--datadir", data_root] + TINY)
+        exp = glob.glob("final_exp/mmimdb/search-EXP-*")[0]
+        f1_stream = main_found(
+            ["--datadir", data_root, "--search_exp_dir", exp] + TINY)
+        f1_cached = main_found(
+            ["--datadir", data_root, "--search_exp_dir", exp] + TINY
+            + ["--device_data_cache", "--steps_per_dispatch", "3"])
+        np.testing.assert_allclose(f1_stream, f1_cached, rtol=1e-6)
+    finally:
+        os.chdir(cwd)

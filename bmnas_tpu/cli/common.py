@@ -90,6 +90,21 @@ def add_common_flags(parser: argparse.ArgumentParser, *, datadir_default: str,
                              'only dead first-order code)')
 
 
+def _stage_seed(stage: str) -> int:
+    """Deterministic per-stage seed term. Python's hash() is randomized per
+    PROCESS, which would give every multi-process worker a different shuffle
+    order and break the shard_batch contract (identical global batches on
+    every host)."""
+    import zlib
+    return zlib.crc32(stage.encode()) % 97
+
+
+def backbone_dtype_from_args(args):
+    """--bf16_backbone -> jnp.bfloat16 compute dtype for frozen conv stacks."""
+    import jax.numpy as jnp
+    return jnp.bfloat16 if getattr(args, "bf16_backbone", False) else jnp.float32
+
+
 def model_kwargs_from_args(args) -> dict:
     return dict(C=args.C, L=args.L, steps=args.steps,
                 multiplier=args.multiplier, node_steps=args.node_steps,
@@ -114,6 +129,12 @@ def fail_fast_checks(args):
     datadir = getattr(args, "datadir", None)
     if datadir and not os.path.isdir(datadir):
         raise SystemExit(f"--datadir: directory not found: {datadir}")
+    if getattr(args, "device_data_cache", False) and getattr(args, "parallel",
+                                                             False):
+        raise SystemExit(
+            "--device_data_cache is single-device today: the cache is placed "
+            "on one chip while --parallel replicates state over the mesh. "
+            "Use one flag or the other (mesh-sharded caching is future work).")
 
 
 def maybe_parallel(args):

@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from bmnas_tpu.cli.common import (
+    _stage_seed,
     apply_resume,
     init_train_state,
     make_apply,
@@ -94,6 +95,9 @@ def _add_ego_flags(parser, *, search: bool):
     parser.add_argument('--profile_dir', type=str, default=None)
     parser.add_argument('--steps_per_dispatch', type=int, default=1,
                         help='fuse k sequential steps into one device dispatch')
+    parser.add_argument('--unrolled', action='store_true', default=False,
+                        help='second-order DARTS arch updates (exact '
+                             'unrolled differentiation)')
     parser.add_argument('--bf16_backbone', action='store_true', default=False,
                         help='run the frozen 3D conv backbones in bfloat16 '
                              '(MXU-native; fusion path stays fp32)')
@@ -145,7 +149,7 @@ def _setup_data(args, parallel_ctx, stages):
         def make(epoch):
             it = datasets[phase].batches(
                 batchsize, shuffle=shuffle,
-                seed=(args.seed * 1000003 + epoch * 131 + hash(phase) % 97))
+                seed=(args.seed * 1000003 + epoch * 131 + _stage_seed(phase)))
             return device_prefetch(it, size=2, place=place)
         return make
 
@@ -183,8 +187,8 @@ def run_search(args, logger):
         args, parallel_ctx, stages)
     nbpe = -(-dataset_sizes["train"] // batchsize)  # ceil(N/B) = len(dataloader) semantics (mmimdb_darts_searchable.py:29-30); batchsize is the padded loader batch under --parallel
 
-    import jax.numpy as _jnp
-    bdt = _jnp.bfloat16 if getattr(args, 'bf16_backbone', False) else _jnp.float32
+    from bmnas_tpu.cli.common import backbone_dtype_from_args
+    bdt = backbone_dtype_from_args(args)
     model = SearchableRGBDepthNet(backbone_dtype=bdt,
                                   **model_kwargs_from_args(args))
     arch = init_arch_params(jax.random.PRNGKey(args.seed + 1), args.steps,
@@ -223,8 +227,8 @@ def run_found(args, logger, genotype, test_model_path=None):
         args, parallel_ctx, stages)
     nbpe = -(-dataset_sizes["train"] // batchsize)  # ceil(N/B) = len(dataloader) semantics (mmimdb_darts_searchable.py:29-30); batchsize is the padded loader batch under --parallel
 
-    import jax.numpy as _jnp
-    bdt = _jnp.bfloat16 if getattr(args, 'bf16_backbone', False) else _jnp.float32
+    from bmnas_tpu.cli.common import backbone_dtype_from_args
+    bdt = backbone_dtype_from_args(args)
     model = FoundRGBDepthNet.from_genotype(
         genotype, backbone_dtype=bdt,
         node_variant=getattr(args, 'node_variant', 'bmnas'),

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from bmnas_tpu.cli.common import (
+    _stage_seed,
     add_common_flags,
     apply_resume,
     init_train_state,
@@ -104,7 +105,7 @@ def _setup_data(args, parallel_ctx):
         def make(epoch):
             it = datasets[stage].batches(
                 batchsize, shuffle=True,
-                seed=(args.seed * 1000003 + epoch * 131 + hash(stage) % 97))
+                seed=(args.seed * 1000003 + epoch * 131 + _stage_seed(stage)))
             return device_prefetch(it, size=2, place=place)
         return make
 
@@ -162,7 +163,7 @@ def _build_device_cache(args, datasets, batchsize, logger, phases):
         # batch padded (index -1 -> zero row + mask 0 in the gather)
         n = len(datasets[phase])
         order = np.arange(n)
-        seed = (args.seed * 1000003 + epoch * 131 + hash(phase) % 97)
+        seed = (args.seed * 1000003 + epoch * 131 + _stage_seed(phase))
         np.random.RandomState(seed % (2**32)).shuffle(order)
         n_b = -(-n // batchsize)
         padded = np.full(n_b * batchsize, -1, np.int32)
@@ -178,8 +179,8 @@ def run_search(args, logger):
     datasets, dataset_sizes, loaders, batchsize = _setup_data(args, parallel_ctx)
     nbpe = -(-dataset_sizes["train"] // batchsize)  # ceil(N/B) = len(dataloader) semantics (mmimdb_darts_searchable.py:29-30); batchsize is the padded loader batch under --parallel
 
-    import jax.numpy as _jnp
-    bdt = _jnp.bfloat16 if getattr(args, 'bf16_backbone', False) else _jnp.float32
+    from bmnas_tpu.cli.common import backbone_dtype_from_args
+    bdt = backbone_dtype_from_args(args)
     model = SearchableImageTextNet(backbone_dtype=bdt,
                                    **model_kwargs_from_args(args))
     arch = init_arch_params(jax.random.PRNGKey(args.seed + 1), args.steps,
@@ -226,8 +227,8 @@ def run_found(args, logger, genotype, test_model_path=None):
     datasets, dataset_sizes, loaders, batchsize = _setup_data(args, parallel_ctx)
     nbpe = -(-dataset_sizes["train"] // batchsize)  # ceil(N/B) = len(dataloader) semantics (mmimdb_darts_searchable.py:29-30); batchsize is the padded loader batch under --parallel
 
-    import jax.numpy as _jnp
-    bdt = _jnp.bfloat16 if getattr(args, 'bf16_backbone', False) else _jnp.float32
+    from bmnas_tpu.cli.common import backbone_dtype_from_args
+    bdt = backbone_dtype_from_args(args)
     model = FoundImageTextNet.from_genotype(
         genotype, backbone_dtype=bdt,
         node_variant=getattr(args, 'node_variant', 'bmnas'),

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from bmnas_tpu.cli.common import (
+    _stage_seed,
     apply_resume,
     init_train_state,
     make_apply,
@@ -103,6 +104,9 @@ def _add_ntu_flags(parser, *, search: bool):
     parser.add_argument('--profile_dir', type=str, default=None)
     parser.add_argument('--steps_per_dispatch', type=int, default=1,
                         help='fuse k sequential steps into one device dispatch')
+    parser.add_argument('--unrolled', action='store_true', default=False,
+                        help='second-order DARTS arch updates (exact '
+                             'unrolled differentiation)')
     parser.add_argument('--bf16_backbone', action='store_true', default=False,
                         help='run the frozen 3D conv backbones in bfloat16 '
                              '(MXU-native; fusion path stays fp32)')
@@ -119,7 +123,6 @@ def _add_ntu_flags(parser, *, search: bool):
                                      'two_head_attn'])
         parser.add_argument('--eval_exp_dir', type=str, default=None)
         parser.add_argument('--momentum', type=float, default=0.9)
-        parser.add_argument('--unrolled', action='store_true', default=False)
 
 
 def parse_search_args(argv=None):
@@ -157,7 +160,7 @@ def _setup_data(args, parallel_ctx, stages):
         def make(epoch):
             it = datasets[phase].batches(
                 batchsize, shuffle=True,
-                seed=(args.seed * 1000003 + epoch * 131 + hash(phase) % 97))
+                seed=(args.seed * 1000003 + epoch * 131 + _stage_seed(phase)))
             return device_prefetch(it, size=2, place=place)
         return make
 
@@ -215,8 +218,8 @@ def run_search(args, logger):
         args, parallel_ctx, stages)
     nbpe = -(-dataset_sizes["train"] // batchsize)  # ceil(N/B) = len(dataloader) semantics (mmimdb_darts_searchable.py:29-30); batchsize is the padded loader batch under --parallel
 
-    import jax.numpy as _jnp
-    bdt = _jnp.bfloat16 if getattr(args, 'bf16_backbone', False) else _jnp.float32
+    from bmnas_tpu.cli.common import backbone_dtype_from_args
+    bdt = backbone_dtype_from_args(args)
     model = SearchableSkeletonImageNet(backbone_dtype=bdt,
                                        **model_kwargs_from_args(args))
     arch = init_arch_params(jax.random.PRNGKey(args.seed + 1), args.steps,
@@ -255,8 +258,8 @@ def run_found(args, logger, genotype, test_model_path=None):
         args, parallel_ctx, stages)
     nbpe = -(-dataset_sizes["train"] // batchsize)  # ceil(N/B) = len(dataloader) semantics (mmimdb_darts_searchable.py:29-30); batchsize is the padded loader batch under --parallel
 
-    import jax.numpy as _jnp
-    bdt = _jnp.bfloat16 if getattr(args, 'bf16_backbone', False) else _jnp.float32
+    from bmnas_tpu.cli.common import backbone_dtype_from_args
+    bdt = backbone_dtype_from_args(args)
     model = FoundSkeletonImageNet.from_genotype(
         genotype, backbone_dtype=bdt, remat=getattr(args, 'remat', False),
         node_variant=getattr(args, 'node_variant', 'bmnas'),

@@ -36,22 +36,39 @@ def device_prefetch(iterator: Iterator[Any], size: int = 2,
     q: "queue.Queue" = queue.Queue(maxsize=size)
     sentinel = object()
     err_holder = []
+    stop = threading.Event()
+
+    def _put_q(item) -> bool:
+        # bounded put that notices consumer abandonment (generator closed
+        # mid-epoch, e.g. the --unrolled dev phase cycling a train iterator):
+        # otherwise the worker would block forever pinning device batches.
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for batch in iterator:
-                q.put(_put(batch))
+                if not _put_q(_put(batch)):
+                    return
         except Exception as e:  # surface loader errors on the consumer side
             err_holder.append(e)
         finally:
-            q.put(sentinel)
+            _put_q(sentinel)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            if err_holder:
-                raise err_holder[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if err_holder:
+                    raise err_holder[0]
+                return
+            yield item
+    finally:
+        stop.set()  # runs on GeneratorExit too — unblocks + ends the worker

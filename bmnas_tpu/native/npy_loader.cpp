@@ -17,6 +17,8 @@
 #include <atomic>
 #include <condition_variable>
 #include <cstdint>
+#include <locale.h>
+#include <clocale>
 #include <limits>
 #include <cmath>
 #include <cstdlib>
@@ -205,6 +207,13 @@ static inline void skip_line(const char*& s, const char* end) {
   if (s < end) ++s;
 }
 
+// strtof is locale-dependent (LC_NUMERIC comma-decimal locales would parse
+// "0.5" as 0); pin the C locale like Python's float().
+static locale_t c_locale() {
+  static locale_t loc = newlocale(LC_ALL_MASK, "C", (locale_t)0);
+  return loc;
+}
+
 extern "C" {
 
 int ske_parse(const char* path, float* out, int max_T) {
@@ -233,10 +242,16 @@ int ske_parse(const char* path, float* out, int max_T) {
       skip_line(s, end);                        // body-info line
       skip_line(s, end);                        // joint-count line
       for (int j = 0; j < 25; ++j) {
+        // values must come from THIS line: a short/malformed joint line must
+        // fail (negative code -> Python-oracle fallback), not silently pull
+        // numbers from the next line (strtof skips newlines).
+        const char* line_end =
+            (const char*)memchr(s, '\n', (size_t)(end - s));
+        if (line_end == nullptr) line_end = end;
         float v[3];
         for (int c = 0; c < 3; ++c) {
-          v[c] = std::strtof(s, &next);
-          if (next == s) return -5;
+          v[c] = strtof_l(s, &next, c_locale());
+          if (next == s || next > line_end) return -5;
           s = next;
           if (!std::isfinite(v[c])) {
             v[c] = std::isnan(v[c]) ? 0.0f

@@ -153,7 +153,7 @@ def run_training(
                             counts = gather_fns.eval_step_many(
                                 state, cache, idx)
                         counts_total = _accumulate(counts_total, counts)
-                elif spd > 1 and fns.weight_step_many is not None:
+                elif spd > 1 and not unrolled and fns.weight_step_many is not None:
                     import itertools
                     import jax.numpy as jnp
                     it = iter(loaders[phase](epoch))

@@ -215,3 +215,27 @@ def test_bf16_backbones_close_to_fp32():
     assert out16.dtype == jnp.float32  # fusion/classifier stay fp32
     np.testing.assert_allclose(np.asarray(out16), np.asarray(out32),
                                rtol=0.1, atol=0.15)
+
+
+def test_device_prefetch_worker_exits_on_abandonment():
+    """Abandoning a prefetch iterator mid-epoch (e.g. the --unrolled dev
+    phase cycling a train iterator) must stop the worker thread instead of
+    leaving it blocked with device batches pinned in the queue."""
+    import gc
+    import threading
+    import time
+
+    from bmnas_tpu.data.prefetch import device_prefetch
+
+    def gen():
+        for i in range(100):
+            yield {"x": np.zeros(4) + i}
+
+    before = threading.active_count()
+    it = device_prefetch(gen(), size=2)
+    next(it)
+    next(it)
+    del it
+    gc.collect()
+    time.sleep(0.6)
+    assert threading.active_count() <= before

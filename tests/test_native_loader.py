@@ -124,3 +124,18 @@ class TestNativeSkeletonParser:
             f.write("not a number\n")
         with pytest.raises(IOError):
             NativeSkeletonParser().parse(p)
+
+    def test_short_joint_line_fails_not_shifts(self, tmp_path):
+        """A truncated joint line must return an error (triggering the
+        Python-oracle fallback), never silently consume the next line."""
+        from bmnas_tpu.native.loader import NativeSkeletonParser
+        p = str(tmp_path / "short.skeleton")
+        lines = ["1", "1", "7 0 1 1 1 1 0 0.1 -0.2 2", "25"]
+        for j in range(25):
+            # joint 3 is truncated to two values
+            lines.append("0.5 0.5" if j == 3 else
+                         " ".join(["0.1"] * 12))
+        with open(p, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        with pytest.raises(IOError):
+            NativeSkeletonParser().parse(p)

@@ -78,7 +78,9 @@ def add_common_flags(parser: argparse.ArgumentParser, *, datadir_default: str,
                         help='upload the whole dataset to HBM once and '
                              'gather batches on device (zero per-epoch '
                              'host->device traffic; needs the splits to fit '
-                             'in HBM - MM-IMDB does, video tasks do not)')
+                             'in aggregate HBM - MM-IMDB does, video tasks '
+                             'do not; composes with --parallel by row-'
+                             'sharding the cache over the data mesh)')
     parser.add_argument('--steps_per_dispatch', type=int, default=1,
                         help='fuse k sequential train/eval steps into one '
                              'device dispatch (lax.scan) - identical math, '
@@ -129,12 +131,6 @@ def fail_fast_checks(args):
     datadir = getattr(args, "datadir", None)
     if datadir and not os.path.isdir(datadir):
         raise SystemExit(f"--datadir: directory not found: {datadir}")
-    if getattr(args, "device_data_cache", False) and getattr(args, "parallel",
-                                                             False):
-        raise SystemExit(
-            "--device_data_cache is single-device today: the cache is placed "
-            "on one chip while --parallel replicates state over the mesh. "
-            "Use one flag or the other (mesh-sharded caching is future work).")
 
 
 def maybe_parallel(args):

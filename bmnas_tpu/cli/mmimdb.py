@@ -125,15 +125,21 @@ def _first_batch(datasets, batchsize):
 
 
 
-def _build_device_cache(args, datasets, batchsize, logger, phases):
+def _build_device_cache(args, datasets, batchsize, logger, phases,
+                        parallel_ctx=None):
     """--device_data_cache: per-split device-resident arrays + the exact
     index order the streaming loader would have used (bit-identical batches).
 
     Images are cached in the backbone compute dtype — with --bf16_backbone
     that is bf16 (the model casts them there anyway), halving HBM footprint
-    (full MM-IMDB train split: 3.8 GB bf16)."""
+    (full MM-IMDB train split: 3.8 GB bf16).
+
+    Under --parallel the cache is row-sharded over the data mesh
+    (``NamedSharding(mesh, P('data'))``) so each chip holds 1/P of the split;
+    splits are zero-padded to a device-count multiple (padded rows are never
+    indexed — the gather indices stay < len(dataset))."""
     import jax
-    import jax.numpy as jnp
+
     import ml_dtypes
 
     img_dtype = (ml_dtypes.bfloat16 if getattr(args, "bf16_backbone", False)
@@ -147,11 +153,22 @@ def _build_device_cache(args, datasets, batchsize, logger, phases):
             imgs.append(b["image"][:n].astype(img_dtype))
             txts.append(b["text"][:n])
             labs.append(b["label"][:n])
-        caches[phase] = {
-            "image": jax.device_put(np.concatenate(imgs)),
-            "text": jax.device_put(np.concatenate(txts)),
-            "label": jax.device_put(np.concatenate(labs)),
+        host = {
+            "image": np.concatenate(imgs),
+            "text": np.concatenate(txts),
+            "label": np.concatenate(labs),
         }
+        if parallel_ctx is not None:
+            nd = parallel_ctx.num_devices
+            n_rows = host["image"].shape[0]
+            n_pad = (-n_rows) % nd
+            if n_pad:
+                host = {k: np.concatenate(
+                    [v, np.zeros((n_pad,) + v.shape[1:], v.dtype)])
+                    for k, v in host.items()}
+            caches[phase] = parallel_ctx.shard_batch(host)
+        else:
+            caches[phase] = {k: jax.device_put(v) for k, v in host.items()}
         if logger is not None:
             nbytes = sum(int(np.prod(v.shape)) * v.dtype.itemsize
                          for v in caches[phase].values())
@@ -207,8 +224,9 @@ def run_search(args, logger):
     if getattr(args, "device_data_cache", False):
         from bmnas_tpu.search.bilevel import build_gather_step_functions
         device_cache = _build_device_cache(args, datasets, batchsize, logger,
-                                           ("train", "dev"))
-        gather_fns = build_gather_step_functions(fns)
+                                           ("train", "dev"), parallel_ctx)
+        gather_fns = build_gather_step_functions(
+            fns, parallel_ctx.batch_sharding if parallel_ctx else None)
 
     best_f1, best_genotype, state = train_loop.run_training(
         task="mmimdb", status="search", fns=fns, state=state,
@@ -261,8 +279,10 @@ def run_found(args, logger, genotype, test_model_path=None):
     if getattr(args, "device_data_cache", False):
         from bmnas_tpu.search.bilevel import build_gather_step_functions
         device_cache = _build_device_cache(args, datasets, batchsize, logger,
-                                           ("train", "dev", "test"))
-        gather_fns = build_gather_step_functions(fns)
+                                           ("train", "dev", "test"),
+                                           parallel_ctx)
+        gather_fns = build_gather_step_functions(
+            fns, parallel_ctx.batch_sharding if parallel_ctx else None)
 
     best_f1, _, state = train_loop.run_training(
         task="mmimdb", status="eval", fns=fns, state=state,

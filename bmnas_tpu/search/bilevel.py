@@ -360,7 +360,8 @@ def _gather_batch(cache: Batch, idx: jnp.ndarray) -> Batch:
     return batch
 
 
-def build_gather_step_functions(fns: StepFunctions) -> StepFunctions:
+def build_gather_step_functions(fns: StepFunctions,
+                                batch_sharding=None) -> StepFunctions:
     """Wrap scanned step variants to source batches from a device cache.
 
     Returned functions' signatures:
@@ -368,6 +369,13 @@ def build_gather_step_functions(fns: StepFunctions) -> StepFunctions:
       arch_step_many(state, cache, idxs)
       eval_step_many(state, cache, idxs)
     ``cache`` is a non-donated device pytree with a leading sample axis.
+
+    ``batch_sharding``: under --parallel the cache lives row-sharded over the
+    1-D data mesh (``NamedSharding(mesh, P('data'))``). The global-index gather
+    then crosses shards; GSPMD lowers it to shard-local masked gathers + an
+    ICI all-reduce, and this constraint pins the gathered batch back to
+    batch-sharded layout so the model step runs data-parallel (without it,
+    propagation would replicate the batch and serialize the compute).
     """
     import jax as _jax
 
@@ -375,24 +383,32 @@ def build_gather_step_functions(fns: StepFunctions) -> StepFunctions:
     arch_inner = fns.arch_step
     eval_inner = fns.eval_step
 
+    def _take(cache, idx):
+        batch = _gather_batch(cache, idx)
+        if batch_sharding is not None:
+            batch = _jax.tree_util.tree_map(
+                lambda x: _jax.lax.with_sharding_constraint(x, batch_sharding),
+                batch)
+        return batch
+
     def weight_step_many(state, cache, idxs, etas):
         def body(s, xs):
             idx, eta = xs
-            return weight_inner(s, _gather_batch(cache, idx), eta)
+            return weight_inner(s, _take(cache, idx), eta)
 
         state, counts = _jax.lax.scan(body, state, (idxs, etas))
         return state, _jax.tree_util.tree_map(lambda x: x.sum(0), counts)
 
     def arch_step_many(state, cache, idxs):
         def body(s, idx):
-            return arch_inner(s, _gather_batch(cache, idx))
+            return arch_inner(s, _take(cache, idx))
 
         state, counts = _jax.lax.scan(body, state, idxs)
         return state, _jax.tree_util.tree_map(lambda x: x.sum(0), counts)
 
     def eval_step_many(state, cache, idxs):
         def body(carry, idx):
-            return carry, eval_inner(state, _gather_batch(cache, idx))
+            return carry, eval_inner(state, _take(cache, idx))
 
         _, counts = _jax.lax.scan(body, 0, idxs)
         return _jax.tree_util.tree_map(lambda x: x.sum(0), counts)

@@ -288,6 +288,153 @@ def convert_resnet50_inflated(sd_2d: Dict[str, np.ndarray],
 
 
 # ---------------------------------------------------------------------------
+# Whole-model MM-IMDB transplant (search net) — the full-net parity contract
+# against the reference's own Searchable_Image_Text_Net
+# (mmimdb_darts_searchable.py:57-133). Used by tests/test_full_model_parity.py
+# to prove logits/gradient/trajectory parity, and usable to import a trained
+# reference search checkpoint wholesale.
+# ---------------------------------------------------------------------------
+
+def conv1d_kernel(w: np.ndarray) -> np.ndarray:
+    """torch Conv1d 1x1 kernel (O, I, 1) -> Dense kernel (I, O)."""
+    assert w.shape[-1] == 1
+    return np.transpose(w[:, :, 0], (1, 0))
+
+
+def ln2d_param(w: np.ndarray) -> np.ndarray:
+    """torch nn.LayerNorm([C, L]) affine (C, L) -> our LayerNorm2D (L, C)."""
+    return np.transpose(w, (1, 0))
+
+
+def flatten_perm(C_total: int, L: int) -> np.ndarray:
+    """Column permutation mapping our L-major flatten of (B, L, C) to the
+    reference's channel-major flatten of (B, C, L) (model_search.py:67).
+    ``perm[j]`` = torch column feeding our flattened column j = l*C + c."""
+    j = np.arange(L * C_total)
+    l, c = j // C_total, j % C_total
+    return c * L + l
+
+
+def _bn_into(params, stats, sd, torch_name, flax_name):
+    p, s = bn_params(sd, torch_name)
+    _set(params, f"{flax_name}/scale", p["scale"])
+    _set(params, f"{flax_name}/bias", p["bias"])
+    _set(stats, f"{flax_name}/mean", s["mean"])
+    _set(stats, f"{flax_name}/var", s["var"])
+
+
+def convert_searchable_mmimdb(sd: Dict[str, np.ndarray], params: Dict,
+                              stats: Dict, *, C: int, L: int,
+                              multiplier: int, node_steps: int,
+                              node_multiplier: int, steps: int) -> tuple:
+    """Reference Searchable_Image_Text_Net state dict -> flax
+    (params, batch_stats) for models/mmimdb.SearchableImageTextNet.
+
+    Layout fixups beyond the standard transposes:
+      * every 1x1 Conv1d over the channel dim -> Dense kernel (conv1d_kernel);
+      * every nn.LayerNorm([C, L]) affine -> transposed (L, C) (ln2d_param);
+      * the classifier consumes the cell's flatten — channel-major in torch,
+        L-major here — so its kernel rows are permuted (flatten_perm).
+    """
+    params = _to_mutable(params)
+    stats = _to_mutable(stats)
+
+    # image backbone: VGG-19 convs + bn4 + classifier (central/mmimdb.py:10-54)
+    img_sd = {k[len("imagenet."):]: v for k, v in sd.items()
+              if k.startswith("imagenet.")}
+    params["imagenet"] = convert_vgg19(img_sd, params["imagenet"])
+    _bn_into(params, stats, sd, "imagenet.bn4", "imagenet/bn4/BatchNorm_0")
+    _set(params, "imagenet/classifier/kernel",
+         linear_kernel(sd["imagenet.classifier.weight"]))
+    _set(params, "imagenet/classifier/bias", sd["imagenet.classifier.bias"])
+
+    # text backbone: MaxOut_MLP (central/mmimdb.py:74-94)
+    for t, f in (("op1", "op1"), ("op3", "op3")):
+        _set(params, f"textnet/{f}/Dense_0/kernel",
+             linear_kernel(sd[f"textnet.{t}.lin.weight"]))
+        _set(params, f"textnet/{f}/Dense_0/bias", sd[f"textnet.{t}.lin.bias"])
+    _bn_into(params, stats, sd, "textnet.op2.0", "textnet/bn1/BatchNorm_0")
+    _bn_into(params, stats, sd, "textnet.op4.0", "textnet/bn2/BatchNorm_0")
+    _set(params, "textnet/hid2val/kernel",
+         linear_kernel(sd["textnet.hid2val.weight"]))
+    _set(params, "textnet/hid2val/bias", sd["textnet.hid2val.bias"])
+
+    # reshape layers (aux_models.py:87-115)
+    for i in range(6):
+        t = f"reshape_layers.{i}"
+        if f"{t}.conv.weight" not in sd:
+            continue  # found nets replace unused ones with nn.ReLU()
+        f = f"reshape_{i}"
+        _set(params, f"{f}/Dense_0/kernel", conv1d_kernel(sd[f"{t}.conv.weight"]))
+        _set(params, f"{f}/Dense_0/bias", sd[f"{t}.conv.bias"])
+        _bn_into(params, stats, sd, f"{t}.bn", f"{f}/BatchNorm_0/BatchNorm_0")
+
+    # fusion cell: per-step inner nodes (node_search.py:12-70,
+    # node_operations.py:9-120)
+    for i in range(steps):
+        t_node = f"fusion_net.cell._step_nodes.{i}.node_cell"
+        f_node = f"fusion_net/cell/step_node_{i}"
+        for j in range(node_steps):
+            t_mix = f"{t_node}.node_ops.{j}._ops"
+            f_mix = f"{f_node}/NodeMixedOp_{j}"
+            # _ops.1 = ScaledDotAttn (ln only)
+            _set(params, f"{f_mix}/ScaledDotAttn_0/LayerNorm2D_0/scale",
+                 ln2d_param(sd[f"{t_mix}.1.ln.weight"]))
+            _set(params, f"{f_mix}/ScaledDotAttn_0/LayerNorm2D_0/bias",
+                 ln2d_param(sd[f"{t_mix}.1.ln.bias"]))
+            # _ops.2 = LinearGLU
+            _set(params, f"{f_mix}/LinearGLU_0/Dense_0/kernel",
+                 conv1d_kernel(sd[f"{t_mix}.2.conv.weight"]))
+            _set(params, f"{f_mix}/LinearGLU_0/Dense_0/bias",
+                 sd[f"{t_mix}.2.conv.bias"])
+            _bn_into(params, stats, sd, f"{t_mix}.2.bn",
+                     f"{f_mix}/LinearGLU_0/BatchNorm_0/BatchNorm_0")
+            # _ops.3 = ConcatFC
+            _set(params, f"{f_mix}/ConcatFC_0/Dense_0/kernel",
+                 conv1d_kernel(sd[f"{t_mix}.3.conv.weight"]))
+            _set(params, f"{f_mix}/ConcatFC_0/Dense_0/bias",
+                 sd[f"{t_mix}.3.conv.bias"])
+            _bn_into(params, stats, sd, f"{t_mix}.3.bn",
+                     f"{f_mix}/ConcatFC_0/BatchNorm_0/BatchNorm_0")
+        if node_multiplier != 1:
+            _set(params, f"{f_node}/Dense_0/kernel",
+                 conv1d_kernel(sd[f"{t_node}.out_conv.weight"]))
+            _set(params, f"{f_node}/Dense_0/bias", sd[f"{t_node}.out_conv.bias"])
+            _bn_into(params, stats, sd, f"{t_node}.bn",
+                     f"{f_node}/BatchNorm_0/BatchNorm_0")
+        _set(params, f"{f_node}/LayerNorm2D_0/scale",
+             ln2d_param(sd[f"{t_node}.ln.weight"]))
+        _set(params, f"{f_node}/LayerNorm2D_0/bias",
+             ln2d_param(sd[f"{t_node}.ln.bias"]))
+
+    # cell output LayerNorm([C*multiplier, L]) (model_search.py:27)
+    _set(params, "fusion_net/cell/LayerNorm2D_0/scale",
+         ln2d_param(sd["fusion_net.cell.ln.weight"]))
+    _set(params, "fusion_net/cell/LayerNorm2D_0/bias",
+         ln2d_param(sd["fusion_net.cell.ln.bias"]))
+
+    # classifier over the flatten (column-permuted)
+    perm = flatten_perm(C * multiplier, L)
+    _set(params, "central_classifier/kernel",
+         linear_kernel(sd["central_classifier.weight"][:, perm]))
+    _set(params, "central_classifier/bias", sd["central_classifier.bias"])
+    return params, stats
+
+
+def convert_arch_params(torch_arch, steps: int) -> Dict[str, np.ndarray]:
+    """Reference arch_parameters() list [alphas, beta_0, gamma_0, beta_1, ...]
+    (model_search.py:91) -> our arch pytree {alphas, betas, gammas}
+    (supernet.init_arch_params shapes)."""
+    # np.array(copy=True): _np() returns a VIEW of the torch tensor's memory;
+    # without the copy, a later in-place torch optimizer step would silently
+    # mutate the returned pytree (jnp.asarray is zero-copy on CPU).
+    alphas = np.array(_np(torch_arch[0]), copy=True)
+    betas = np.stack([_np(torch_arch[1 + 2 * i]) for i in range(steps)])
+    gammas = np.stack([_np(torch_arch[2 + 2 * i]) for i in range(steps)])
+    return {"alphas": alphas, "betas": betas, "gammas": gammas}
+
+
+# ---------------------------------------------------------------------------
 # Task-level loaders
 # ---------------------------------------------------------------------------
 

@@ -104,7 +104,7 @@ def _add_ego_flags(parser, *, search: bool):
     if not search:
         parser.add_argument('--search_exp_dir', type=str, default=None)
         parser.add_argument('--fused_kernels', action='store_true',
-                            help='fused Pallas whole-cell kernel for eval forwards (found phase; node_steps=1)')
+                            help='fused Pallas whole-cell kernel for eval forwards (found phase)')
         parser.add_argument('--node_variant', type=str, default='bmnas',
                             choices=['bmnas', 'darts', 'mfas', 'aoa',
                                      'two_head_attn'])

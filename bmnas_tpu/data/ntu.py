@@ -7,10 +7,13 @@ Rebuild of ``datasets/ntu.py``: subject-ID splits encoded in filename chars
 (RGB /255 + ImageNet mean/std; skeleton centered on joint 2 of person 0,
 :274-289), temporal transforms AugCrop/NormalizeLen/CenterCrop (:89-162).
 
-Layout: batches carry rgb (B, 8, H, W, 3) and skeleton (B, 32, 25, 2, 3)
-channels-last plus a 'mask' validity vector (static shapes for XLA).
+Layout: batches carry rgb (B, 8, H, W, 3) — **uint8** by default, normalized
+on device inside the model (models/ntu.normalize_uint8_clip; 4x less
+host->device traffic than shipping fp32) — and skeleton (B, 32, 25, 2, 3)
+fp32 channels-last plus a 'mask' validity vector (static shapes for XLA).
 Videos stored as ``*_rgb.npy`` arrays are also accepted (the reference has
-the same fallback, :32-35) — used by the synthetic test fixtures.
+the same fallback, :32-35) — used by the synthetic test fixtures; float npy
+sources keep the legacy host-side normalization.
 """
 from __future__ import annotations
 
@@ -35,25 +38,38 @@ IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
 
 
 def load_video(path: str, vid_len: int = 24) -> np.ndarray:
-    """cv2 decode + uniform vid_len frame sample (datasets/ntu.py:12-30).
-    Returns (vid_len, H, W, 3) float32 (BGR, like the reference)."""
+    """Decode + uniform vid_len frame sample. Returns (vid_len, H, W, 3)
+    uint8 (BGR) — pixel bytes stay uint8 all the way to the device, where the
+    model normalizes them (4x less host->device traffic than fp32).
+
+    Sampling contract matches ``datasets/ntu.py:12-30`` exactly: indices from
+    ``linspace(0, N, vid_len)``; index N never lands (its slot stays zero),
+    duplicate indices (short videos) collapse to one slot each. Unlike the
+    reference's read-every-frame loop, frames outside the sample set are only
+    ``grab()``-ed (no color conversion/copy) and decoding stops after the
+    last sampled index."""
     if path.endswith(".npy"):
-        return np.load(path).astype(np.float32)
+        arr = np.load(path)
+        # float fixtures stay float (already-normalized or raw-valued data)
+        return arr if arr.dtype == np.uint8 else arr.astype(np.float32)
     import cv2
     cap = cv2.VideoCapture(path)
     num_frames = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
     width = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
     height = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
-    video = np.zeros((vid_len, height, width, 3), np.float32)
-    taken = np.linspace(0, num_frames, vid_len).astype(int)
-    np_idx = 0
-    for fr_idx in range(num_frames):
-        ret, frame = cap.read()
-        if cap.isOpened() and fr_idx in taken:
-            video[np_idx] = frame.astype(np.float32)
-            np_idx += 1
-        if np_idx == vid_len:
+    video = np.zeros((vid_len, height, width, 3), np.uint8)
+    taken = np.unique(np.linspace(0, num_frames, vid_len).astype(int))
+    taken = taken[taken < num_frames]
+    slot = 0
+    for fr_idx in range(int(taken[-1]) + 1 if len(taken) else 0):
+        if not cap.grab():
             break
+        if fr_idx == taken[slot]:
+            ret, frame = cap.retrieve()
+            if not ret:
+                break
+            video[slot] = frame
+            slot += 1
     cap.release()
     return video
 
@@ -135,14 +151,23 @@ def normalize_len(rgb: np.ndarray, ske: np.ndarray,
     return rgb, ske
 
 
-def normalize_sample(rgb: np.ndarray, ske: np.ndarray):
+def normalize_sample(rgb: np.ndarray, ske: np.ndarray,
+                     image_on_host: bool = True):
     """RGB /255 + ImageNet stats; skeleton centered on joint 2 of person 0
-    (datasets/ntu.py:274-289)."""
-    rgb = rgb / 255.0
-    rgb = (rgb - IMAGENET_MEAN.reshape(1, 1, 1, 3)) / IMAGENET_STD.reshape(1, 1, 1, 3)
+    (datasets/ntu.py:274-289).
+
+    ``image_on_host=False`` keeps uint8 pixels unnormalized — the model
+    applies the identical fp32 normalization on device (models/ntu.Visual),
+    cutting host->device traffic 4x. Valid because the downstream temporal
+    transforms (aug_crop / normalize_len) are pure frame selections that
+    commute with per-pixel normalization."""
+    if image_on_host or rgb.dtype != np.uint8:
+        rgb = rgb / 255.0
+        rgb = ((rgb - IMAGENET_MEAN.reshape(1, 1, 1, 3))
+               / IMAGENET_STD.reshape(1, 1, 1, 3)).astype(np.float32)
     origin = ske[:, :, 1, 0]
     ske = ske - origin[:, :, None, None]
-    return rgb.astype(np.float32), ske.astype(np.float32)
+    return rgb, ske.astype(np.float32)
 
 
 class NTUDataset:
@@ -152,7 +177,12 @@ class NTUDataset:
     def __init__(self, root_dir: str, stage: str, small_dataset: bool = False,
                  vid_len: Tuple[int, int] = (8, 32), vid_dim: int = 256,
                  vid_fr: int = 30, num_workers: int = 8,
-                 train_transform: bool = False):
+                 train_transform: bool = False,
+                 host_image_norm: bool = False):
+        # host_image_norm=True forces the legacy fp32 host-side image
+        # normalization even for uint8 sources (used by the equivalence test;
+        # the default ships uint8 and normalizes on device).
+        self.host_image_norm = host_image_norm
         subjects = SUBJECTS[stage]
         basename_rgb = os.path.join(
             root_dir, "nturgb+d_rgb_{0}x{0}_{1}".format(vid_dim, vid_fr))
@@ -215,7 +245,8 @@ class NTUDataset:
         rng = np.random.RandomState(seed % (2**32))
         rgb = load_video(self.rgb_list[idx])
         ske = self._parse_skeleton(self.ske_list[idx])
-        rgb, ske = normalize_sample(rgb, ske)
+        rgb, ske = normalize_sample(rgb, ske,
+                                    image_on_host=self.host_image_norm)
         if self.train_transform:
             rgb, ske = aug_crop(rgb, ske, rng)
         rgb, ske = normalize_len(rgb, ske, self.vid_len)
@@ -238,7 +269,8 @@ class NTUDataset:
             n = len(samples)
             b = batch_size if pad_to_full else n
             out = {
-                "image": np.zeros((b,) + samples[0]["image"].shape, np.float32),
+                "image": np.zeros((b,) + samples[0]["image"].shape,
+                                  samples[0]["image"].dtype),
                 "skeleton": np.zeros((b,) + samples[0]["skeleton"].shape,
                                      np.float32),
                 "label": np.zeros((b,), np.int32),

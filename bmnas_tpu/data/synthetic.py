@@ -99,11 +99,20 @@ def _write_skeleton_file(path: str, num_frames: int, rng) -> None:
 
 def make_ntu_synthetic(root: str, n_videos_per_subject: int = 1,
                        subjects=(1, 2, 3, 8, 5, 6), num_actions: int = 6,
-                       hw: int = 32, frames: int = 70, seed: int = 0) -> str:
-    """Tiny NTU-layout dataset: ``*_rgb.npy`` clips + .skeleton text files,
+                       hw: int = 32, frames: int = 70, seed: int = 0,
+                       ske_frames: int = None) -> str:
+    """NTU-layout dataset: ``*_rgb.npy`` clips + .skeleton text files,
     filenames following S###C###P###R###A### so the subject/label slicing
-    (datasets/ntu.py:212-217) applies."""
+    (datasets/ntu.py:212-217) applies.
+
+    Scales to reference-sized splits (~1,422 clips/subject): the R field is
+    3 digits, so clips past 900 per subject roll into higher camera numbers
+    (C002, C003, ...), exactly like the real corpus's multi-camera naming.
+    ``ske_frames`` decouples skeleton length from clip length (full-scale
+    runs use 8-frame clips + >=64-frame skeletons so AugCrop's 64-frame
+    minimum, datasets/ntu.py:139-162, stays exercised)."""
     rng = np.random.RandomState(seed)
+    ske_frames = frames if ske_frames is None else ske_frames
     rgb_dir = os.path.join(root, "nturgb+d_rgb_256x256_30")
     ske_dir = os.path.join(root, "nturgb+d_skeletons")
     os.makedirs(rgb_dir, exist_ok=True)
@@ -111,9 +120,10 @@ def make_ntu_synthetic(root: str, n_videos_per_subject: int = 1,
     for subj in subjects:
         for r in range(n_videos_per_subject):
             action = rng.randint(1, num_actions + 1)
-            name = f"S001C001P{subj:03d}R{r+1:03d}A{action:03d}"
-            clip = (rng.rand(frames, hw, hw, 3) * 255).astype(np.float32)
+            name = (f"S001C{1 + r // 900:03d}P{subj:03d}"
+                    f"R{(r % 900) + 1:03d}A{action:03d}")
+            clip = rng.randint(0, 256, (frames, hw, hw, 3), dtype=np.uint8)
             np.save(os.path.join(rgb_dir, name + "_rgb.npy"), clip)
             _write_skeleton_file(os.path.join(ske_dir, name + ".skeleton"),
-                                 frames, rng)
+                                 ske_frames, rng)
     return root

@@ -33,11 +33,15 @@ def _freeze(genotype: G.Genotype) -> Tuple:
 class FoundNodeCell(nn.Module):
     """Fixed inner DAG from a StepGenotype (node.py:8-76).
 
-    With ``fused_eval=True`` an eval-mode forward of the common
-    node_steps=1 / node_multiplier=1 shape executes as ONE Pallas kernel
-    (ops/kernels/node_mixed.found_node_cell_fused): inner op + residual +
-    output LayerNorm in a single VMEM residency, BNs folded. Training and
-    init always take the composite path (same parameters either way)."""
+    With ``fused_eval=True`` an eval-mode forward executes as ONE Pallas
+    kernel (ops/kernels/node_mixed.found_node_cell_multi_fused): all
+    node_steps chained inner ops, the node_multiplier out_conv, the residual
+    and the output LayerNorm in a single VMEM residency, BNs folded. Covers
+    every reference found config (mmimdb node_steps=1, NTU 2/multiplier 2,
+    ego 3). Training and init always take the composite path (same
+    parameters either way). When the genotype falls outside the fusable set
+    (an inner op or edge kind the kernel doesn't host), a log line says so
+    instead of silently no-oping."""
     inner_edges: Tuple[Tuple[str, int], ...]
     inner_steps: Tuple[str, ...]
     node_steps: int
@@ -47,41 +51,48 @@ class FoundNodeCell(nn.Module):
     drpt: float
     fused_eval: bool = False
 
-    def _can_fuse(self, train: bool) -> bool:
+    def _fuse_blocker(self) -> str:
+        """'' when the genotype shape is kernel-hostable, else the reason."""
         from bmnas_tpu.ops.kernels.node_mixed import FUSABLE_STEP_OPS
-        return (
-            self.fused_eval
-            and not train
-            and not self.is_initializing()
-            and self.node_steps == 1
-            and self.node_multiplier == 1
-            and self.inner_steps[0] in FUSABLE_STEP_OPS
-            and all(k in ("skip", "none") for k, _ in self.inner_edges[:2])
-        )
+        bad_ops = [o for o in self.inner_steps if o not in FUSABLE_STEP_OPS]
+        if bad_ops:
+            return f"inner op(s) {bad_ops} not in the fusable set"
+        bad_edges = [k for k, _ in self.inner_edges
+                     if k not in ("skip", "none")]
+        if bad_edges:
+            return f"inner edge op(s) {bad_edges} not in (skip, none)"
+        return ""
+
+    def _can_fuse(self, train: bool) -> bool:
+        if not (self.fused_eval and not train and not self.is_initializing()):
+            return False
+        blocker = self._fuse_blocker()
+        if blocker:
+            import logging
+            logging.getLogger("bmnas_tpu").info(
+                "--fused_kernels: composite fallback for %s (%s)",
+                self.name, blocker)
+            return False
+        return True
 
     def _fused_forward(self, x, y):
         import jax
 
         from bmnas_tpu.ops.kernels.node_mixed import (
-            FUSABLE_STEP_OPS,
-            found_node_cell_fused,
-            found_node_params_from_flax,
+            found_cell_params_from_flax,
+            found_cell_steps_cfg,
+            found_node_cell_multi_fused,
         )
 
-        gammas, p, ln2_s, ln2_b = found_node_params_from_flax(
-            self.variables, self.inner_steps[0], self.C, self.L)
-        branch = FUSABLE_STEP_OPS[self.inner_steps[0]]
-        states = (x, y)
-        kind_x, idx_x = self.inner_edges[0]
-        kind_y, idx_y = self.inner_edges[1]
-        in_x = states[idx_x] if kind_x == "skip" else jnp.zeros_like(x)
-        in_y = states[idx_y] if kind_y == "skip" else jnp.zeros_like(y)
+        p = found_cell_params_from_flax(self.variables, self.inner_steps,
+                                        self.C, self.L, self.node_multiplier)
+        cfg = found_cell_steps_cfg(self.inner_edges, self.inner_steps)
         interpret = jax.default_backend() != "tpu"
         # tile_b=32 measured best on v5e at reference shapes (grid overhead
         # amortizes; see ops/kernels/node_mixed.py measurement notes)
-        return found_node_cell_fused(in_x, in_y, x, gammas, p, ln2_s, ln2_b,
-                                     interpret=interpret,
-                                     static_branch=branch, tile_b=32)
+        return found_node_cell_multi_fused(x, y, p, cfg,
+                                           multiplier=self.node_multiplier,
+                                           interpret=interpret, tile_b=32)
 
     @nn.compact
     def __call__(self, x, y, train: bool):

@@ -31,6 +31,33 @@ from bmnas_tpu.ops.layers import ReshapeInputLayer
 
 NTU_C_INS = (512, 1024, 2048, 2048, 128, 256, 1024, 512)
 
+# ImageNet stats for on-device uint8 normalization (same constants as
+# data/ntu.py — the loader ships raw uint8 pixels, 4x less H2D traffic, and
+# the model applies the identical fp32 normalization here).
+_IMAGENET_MEAN = (0.485, 0.456, 0.406)
+_IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+def normalize_uint8_clip(x: jnp.ndarray, mask: jnp.ndarray = None
+                         ) -> jnp.ndarray:
+    """uint8 (B, T, H, W, 3) -> fp32 ImageNet-normalized. Bit-identical to
+    the host path (data/ntu.normalize_sample): /255 then (x - mean) / std in
+    fp32. No-op on float inputs (already normalized on host).
+
+    ``mask`` (B,) row validity: padded rows are zero BYTES, which would
+    normalize to -mean/std (normalized black); multiplying by the mask keeps
+    them zero in normalized space, exactly like the host-normalized padded
+    batches (so BN batch statistics see identical content)."""
+    if x.dtype != jnp.uint8:
+        return x
+    x = x.astype(jnp.float32) / 255.0
+    mean = jnp.asarray(_IMAGENET_MEAN, jnp.float32)
+    std = jnp.asarray(_IMAGENET_STD, jnp.float32)
+    x = (x - mean) / std
+    if mask is not None:
+        x = x * mask.reshape((-1,) + (1,) * (x.ndim - 1))
+    return x
+
 # Search: only fusion_net + central_classifier are optimized
 # (ntu_darts_searchable.py:160-166).
 NTU_SEARCH_FROZEN_PREFIXES = ("rgbnet", "skenet") + tuple(
@@ -51,6 +78,7 @@ class Visual(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool):
+        x = normalize_uint8_clip(x)
         fm1, fm2, fm3, fm4 = InflatedResNet50(remat=self.remat,
                                               dtype=self.dtype,
                                               name="cnn")(x, train)
@@ -84,6 +112,7 @@ class SearchableSkeletonImageNet(nn.Module):
     @nn.compact
     def __call__(self, batch, arch, train: bool):
         image, skeleton = batch["image"], batch["skeleton"]
+        image = normalize_uint8_clip(image, batch.get("mask"))
         rgb_out = Visual(self.num_outputs, remat=self.remat,
                          dtype=self.backbone_dtype,
                          name="rgbnet")(image, train)
@@ -134,6 +163,7 @@ class FoundSkeletonImageNet(nn.Module):
     def __call__(self, batch, arch, train: bool):
         del arch
         image, skeleton = batch["image"], batch["skeleton"]
+        image = normalize_uint8_clip(image, batch.get("mask"))
         rgb_out = Visual(self.num_outputs, remat=self.remat,
                          dtype=self.backbone_dtype,
                          name="rgbnet")(image, train)

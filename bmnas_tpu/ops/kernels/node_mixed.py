@@ -375,6 +375,245 @@ FUSABLE_STEP_OPS = {"Sum": 0, "ScaleDotAttn": 1, "LinearGLU": 2,
                     "ConcatFC": 3, "cat_conv_relu": 3}
 
 
+# ---------------------------------------------------------------------------
+# Whole-cell kernel, general shape: node_steps >= 1 chained inner steps
+# (each with static branch + static skip/none edge selection over the
+# accumulated state list) and node_multiplier >= 1 (concat of the last m
+# states -> BN-folded out_conv -> ReLU). Covers NTU's found default
+# (node_steps=2, node_multiplier=2, cli/ntu.py) and ego's node_steps=3 —
+# the single-step kernel above only served node_steps=1.
+# ---------------------------------------------------------------------------
+
+def _cell_multi_kernel(*refs, eps: float, L: int, steps_cfg, multiplier: int):
+    """One tile: S chained mixed-op steps + concat/out_conv + residual + LN.
+
+    ``steps_cfg``: tuple of (branch_idx, (skip_x, idx_x), (skip_y, idx_y))
+    per step — all static, so each step emits exactly one branch's GEMMs and
+    the state-list indexing unrolls at trace time.
+
+    refs layout: x, y, r, ln1_s_all (S*R, C), ln1_b_all (S*R, C),
+    gw_all (S*2C, 2C), gb_all (S, 2C), cw_all (S*2C, C), cb_all (S, C),
+    [oc_w (m*C, C), oc_b (1, C)]?, ln2_s (R, C), ln2_b (R, C), out.
+    """
+    S = len(steps_cfg)
+    it = iter(refs)
+    x_ref, y_ref, r_ref = next(it), next(it), next(it)
+    ln1_s_all, ln1_b_all, gw_all, gb_all, cw_all, cb_all = (
+        next(it) for _ in range(6))
+    if multiplier != 1:
+        oc_w_ref, oc_b_ref = next(it), next(it)
+    ln2_s_ref, ln2_b_ref, out_ref = next(it), next(it), next(it)
+
+    x2, y2, r2 = x_ref[:], y_ref[:], r_ref[:]
+    R, C = x2.shape
+    zeros = jnp.zeros_like(x2)
+    states = [x2, y2]
+    same_blk = None
+    for i, (branch, (skip_x, idx_x), (skip_y, idx_y)) in enumerate(steps_cfg):
+        in_x = states[idx_x] if skip_x else zeros
+        in_y = states[idx_y] if skip_y else zeros
+        out2, same_blk = _mixed_body(
+            None, in_x, in_y,
+            ln1_s_all[i * R:(i + 1) * R], ln1_b_all[i * R:(i + 1) * R],
+            gw_all[i * 2 * C:(i + 1) * 2 * C], gb_all[i:i + 1],
+            cw_all[i * 2 * C:(i + 1) * 2 * C], cb_all[i:i + 1],
+            eps=eps, L=L, static_branch=branch)
+        states.append(out2)
+
+    if multiplier == 1:
+        o = states[-1]
+    else:
+        cat = jnp.concatenate(states[-multiplier:], axis=-1)   # (R, m*C)
+        o = jnp.dot(cat, oc_w_ref[:],
+                    preferred_element_type=jnp.float32) + oc_b_ref[:]
+        o = jnp.maximum(o, 0.0)
+    o = o + r2
+    out_ref[:] = _block_layernorm(o, same_blk, ln2_s_ref[:], ln2_b_ref[:],
+                                  L=L, C=C, eps=eps).astype(out_ref.dtype)
+
+
+class FoundCellParams(flax.struct.PyTreeNode):
+    """Stacked folded parameters for the multi-step found cell."""
+    ln1_scale: jnp.ndarray   # (S, L, C) attention LN per step (zeros if unused)
+    ln1_bias: jnp.ndarray    # (S, L, C)
+    glu_kernel: jnp.ndarray  # (S, 2C, 2C) BN-folded
+    glu_bias: jnp.ndarray    # (S, 2C)
+    cfc_kernel: jnp.ndarray  # (S, 2C, C) BN-folded
+    cfc_bias: jnp.ndarray    # (S, C)
+    oc_kernel: jnp.ndarray   # (m*C, C) BN-folded out_conv, or None (m=1)
+    oc_bias: jnp.ndarray     # (C,) or None
+    ln2_scale: jnp.ndarray   # (L, C) output LayerNorm
+    ln2_bias: jnp.ndarray    # (L, C)
+
+
+@functools.partial(jax.jit, static_argnames=("steps_cfg", "multiplier", "eps",
+                                             "interpret", "tile_b"))
+def found_node_cell_multi_fused(x: jnp.ndarray, y: jnp.ndarray,
+                                p: FoundCellParams, steps_cfg,
+                                multiplier: int = 1, eps: float = 1e-5,
+                                interpret: bool = False,
+                                tile_b: int = 32) -> jnp.ndarray:
+    """Fused eval-mode FoundNodeCell for any node_steps/node_multiplier.
+
+    ``steps_cfg`` per step: (branch_idx, (skip_x, idx_x), (skip_y, idx_y)).
+    Residual is ``x`` (node.py:73-74: out += x where x is the node's first
+    input). All S steps' GEMMs, the out_conv and the output LayerNorm run in
+    one VMEM residency per tile.
+    """
+    B, L, C = x.shape
+    S = len(steps_cfg)
+    tile_b = min(tile_b, max(1, B))
+    Bp = ((B + tile_b - 1) // tile_b) * tile_b
+    if Bp != B:
+        pad = [(0, Bp - B), (0, 0), (0, 0)]
+        x = jnp.pad(x, pad)
+        y = jnp.pad(y, pad)
+    R = tile_b * L
+    x2 = x.reshape(Bp * L, C)
+    y2 = y.reshape(Bp * L, C)
+    ln1_s = jnp.concatenate([jnp.tile(p.ln1_scale[i], (tile_b, 1))
+                             for i in range(S)])        # (S*R, C)
+    ln1_b = jnp.concatenate([jnp.tile(p.ln1_bias[i], (tile_b, 1))
+                             for i in range(S)])        # (S*R, C)
+    gw_all = p.glu_kernel.reshape(S * 2 * C, 2 * C)
+    cw_all = p.cfc_kernel.reshape(S * 2 * C, C)
+    ln2_s = jnp.tile(p.ln2_scale, (tile_b, 1))
+    ln2_b = jnp.tile(p.ln2_bias, (tile_b, 1))
+
+    grid = (Bp // tile_b,)
+    tile = lambda i: (i, 0)
+    full = lambda i: (0, 0)
+    in_specs = [
+        pl.BlockSpec((R, C), tile, memory_space=pltpu.VMEM),       # x
+        pl.BlockSpec((R, C), tile, memory_space=pltpu.VMEM),       # y
+        pl.BlockSpec((R, C), tile, memory_space=pltpu.VMEM),       # residual
+        pl.BlockSpec((S * R, C), full, memory_space=pltpu.VMEM),   # ln1 scale
+        pl.BlockSpec((S * R, C), full, memory_space=pltpu.VMEM),   # ln1 bias
+        pl.BlockSpec((S * 2 * C, 2 * C), full, memory_space=pltpu.VMEM),
+        pl.BlockSpec((S, 2 * C), full, memory_space=pltpu.VMEM),
+        pl.BlockSpec((S * 2 * C, C), full, memory_space=pltpu.VMEM),
+        pl.BlockSpec((S, C), full, memory_space=pltpu.VMEM),
+    ]
+    operands = [x2, y2, x2, ln1_s, ln1_b, gw_all, p.glu_bias, cw_all,
+                p.cfc_bias]
+    if multiplier != 1:
+        in_specs += [
+            pl.BlockSpec((multiplier * C, C), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), full, memory_space=pltpu.VMEM),
+        ]
+        operands += [p.oc_kernel, p.oc_bias.reshape(1, C)]
+    in_specs += [
+        pl.BlockSpec((R, C), full, memory_space=pltpu.VMEM),       # ln2 scale
+        pl.BlockSpec((R, C), full, memory_space=pltpu.VMEM),       # ln2 bias
+    ]
+    operands += [ln2_s, ln2_b]
+
+    kernel = functools.partial(_cell_multi_kernel, eps=eps, L=L,
+                               steps_cfg=tuple(steps_cfg),
+                               multiplier=multiplier)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((R, C), tile, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bp * L, C), x.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=(Bp // tile_b) * S * (2 * R * R * C + 2 * R * 2 * C * 2 * C
+                                        + 2 * R * 2 * C * C),
+            bytes_accessed=Bp * L * C * 4 * 4,
+            transcendentals=(Bp // tile_b) * S * R * (R + C),
+        ),
+    )(*operands)
+    return out.reshape(Bp, L, C)[:B]
+
+
+_OP_CLASS = {"Sum": "SumOp", "ScaleDotAttn": "ScaledDotAttn",
+             "LinearGLU": "LinearGLU", "ConcatFC": "ConcatFC",
+             "cat_conv_relu": "ConcatFC"}
+
+
+def found_cell_steps_cfg(inner_edges, inner_steps):
+    """Static per-step kernel config from a StepGenotype:
+    (branch_idx, (skip_x, idx_x), (skip_y, idx_y)) per step."""
+    cfg = []
+    for i, op in enumerate(inner_steps):
+        (kx, ix), (ky, iy) = inner_edges[2 * i], inner_edges[2 * i + 1]
+        cfg.append((FUSABLE_STEP_OPS[op],
+                    (kx == "skip", ix), (ky == "skip", iy)))
+    return tuple(cfg)
+
+
+def found_cell_params_from_flax(cell_variables: dict, inner_steps,
+                                C: int, L: int, node_multiplier: int,
+                                eps: float = 1e-5) -> "FoundCellParams":
+    """Stacked folded parameters for found_node_cell_multi_fused from a
+    FoundNodeCell's variables.
+
+    Flax auto-names count per module CLASS across the unrolled steps (two
+    ConcatFC steps -> ConcatFC_0, ConcatFC_1), so the step->name mapping
+    tracks a per-class counter. Unused branch slots stay zero — the static
+    branch config means they are never read.
+    """
+    # built with jnp (stack of per-step slices), never numpy assignment —
+    # the serving path traces this under jit with tracer-valued params
+    params = cell_variables["params"]
+    stats = cell_variables.get("batch_stats", {})
+    ln1_s, ln1_b, glu_k, glu_b, cfc_k, cfc_b = [], [], [], [], [], []
+
+    counters = {}
+    for op in inner_steps:
+        cls = _OP_CLASS[op]
+        k = counters.get(cls, 0)
+        counters[cls] = k + 1
+        name = f"{cls}_{k}"
+        idx = FUSABLE_STEP_OPS[op]
+        ls, lb = jnp.zeros((L, C), jnp.float32), jnp.zeros((L, C), jnp.float32)
+        gk, gb = (jnp.zeros((2 * C, 2 * C), jnp.float32),
+                  jnp.zeros((2 * C,), jnp.float32))
+        ck, cb = (jnp.zeros((2 * C, C), jnp.float32),
+                  jnp.zeros((C,), jnp.float32))
+        if idx == 1:
+            ln = params[name]["LayerNorm2D_0"]
+            ls, lb = ln["scale"], ln["bias"]
+        elif idx in (2, 3):
+            pD = params[name]
+            sD = stats[name]
+            fk, fb = fuse_bn_into_dense(
+                pD["Dense_0"]["kernel"], pD["Dense_0"]["bias"],
+                pD["BatchNorm_0"]["BatchNorm_0"]["scale"],
+                pD["BatchNorm_0"]["BatchNorm_0"]["bias"],
+                sD["BatchNorm_0"]["BatchNorm_0"]["mean"],
+                sD["BatchNorm_0"]["BatchNorm_0"]["var"], eps)
+            if idx == 2:
+                gk, gb = fk, fb
+            else:
+                ck, cb = fk, fb
+        ln1_s.append(ls)
+        ln1_b.append(lb)
+        glu_k.append(gk)
+        glu_b.append(gb)
+        cfc_k.append(ck)
+        cfc_b.append(cb)
+
+    oc_k = oc_b = None
+    if node_multiplier != 1:
+        oc_k, oc_b = fuse_bn_into_dense(
+            params["Dense_0"]["kernel"], params["Dense_0"]["bias"],
+            params["BatchNorm_0"]["BatchNorm_0"]["scale"],
+            params["BatchNorm_0"]["BatchNorm_0"]["bias"],
+            stats["BatchNorm_0"]["BatchNorm_0"]["mean"],
+            stats["BatchNorm_0"]["BatchNorm_0"]["var"], eps)
+
+    ln2 = params["LayerNorm2D_0"]
+    return FoundCellParams(
+        ln1_scale=jnp.stack(ln1_s), ln1_bias=jnp.stack(ln1_b),
+        glu_kernel=jnp.stack(glu_k), glu_bias=jnp.stack(glu_b),
+        cfc_kernel=jnp.stack(cfc_k), cfc_bias=jnp.stack(cfc_b),
+        oc_kernel=oc_k, oc_bias=oc_b,
+        ln2_scale=ln2["scale"], ln2_bias=ln2["bias"])
+
+
 def found_node_params_from_flax(cell_variables: dict, op_name: str,
                                 C: int, L: int, eps: float = 1e-5):
     """Build fused-cell parameters from a FoundNodeCell's variables subtree.

@@ -146,3 +146,38 @@ class TestNbpeCeil:
         assert -(-15552 // 8) == 1944           # exact division
         assert -(-100 // 96) == 2               # NTU-style remainder
         assert -(-191 // 96) == 2
+
+
+class TestUint8DeviceNormalization:
+    """The uint8 H2D path (ship raw bytes, normalize on device) must equal
+    the legacy fp32 host normalization bit-for-bit through the full model."""
+
+    def test_batches_ship_uint8_and_logits_match_host_norm(self, tmp_path):
+        import jax
+        import numpy as np
+
+        from bmnas_tpu.data.ntu import NTUDataset
+        from bmnas_tpu.data.synthetic import make_ntu_synthetic
+        from bmnas_tpu.models.ntu import SearchableSkeletonImageNet
+        from bmnas_tpu.models.supernet import init_arch_params
+
+        root = make_ntu_synthetic(str(tmp_path), hw=32, frames=70)
+        kw = dict(num_workers=2)
+        ds_dev = NTUDataset(root, "train", **kw)
+        ds_host = NTUDataset(root, "train", host_image_norm=True, **kw)
+
+        b_dev = next(iter(ds_dev.batches(4, shuffle=False)))
+        b_host = next(iter(ds_host.batches(4, shuffle=False)))
+        assert b_dev["image"].dtype == np.uint8
+        assert b_host["image"].dtype == np.float32
+        np.testing.assert_array_equal(b_dev["skeleton"], b_host["skeleton"])
+
+        model = SearchableSkeletonImageNet(
+            C=8, L=4, steps=2, multiplier=2, node_steps=1, node_multiplier=1,
+            num_input_nodes=8, num_keep_edges=2, num_outputs=6, drpt=0.0)
+        arch = init_arch_params(jax.random.PRNGKey(1), 2, 8, 1)
+        v = model.init({"params": jax.random.PRNGKey(0),
+                        "dropout": jax.random.PRNGKey(2)}, b_dev, arch, False)
+        out_dev = np.asarray(model.apply(v, b_dev, arch, False))
+        out_host = np.asarray(model.apply(v, b_host, arch, False))
+        np.testing.assert_allclose(out_dev, out_host, rtol=1e-6, atol=1e-6)

@@ -40,5 +40,17 @@ def test_search_found_round_trip(data_root, tmp_path):
              "--search_exp_dir", exps[0], "--steps", "2"] + TINY)
         assert np.isfinite(acc)
         assert glob.glob(os.path.join(exps[0], "eval-*"))
+
+        # --fused_kernels on the NTU found default shape (node_steps=2,
+        # node_multiplier=2): the multi-step Pallas cell must actually run
+        # (no "composite fallback" line) and produce a finite accuracy.
+        acc_fused = main_found(
+            ["--datadir", data_root, "--checkpointdir", str(tmp_path),
+             "--search_exp_dir", exps[0], "--steps", "2",
+             "--fused_kernels"] + TINY)
+        assert np.isfinite(acc_fused)
+        eval_dirs = sorted(glob.glob(os.path.join(exps[0], "eval-*")))
+        log = open(os.path.join(eval_dirs[-1], "log.txt")).read()
+        assert "composite fallback" not in log
     finally:
         os.chdir(cwd)

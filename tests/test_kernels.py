@@ -159,3 +159,75 @@ def test_fused_cell_bf16_dtype():
     got16 = node_mixed_op_fused(x, x, jnp.asarray([0.25] * 4), p,
                                 interpret=True)
     assert got16.dtype == jnp.bfloat16
+
+
+@pytest.mark.parametrize("node_steps,node_multiplier,ops", [
+    (2, 2, ("ConcatFC", "ScaleDotAttn")),   # NTU found default shape
+    (2, 2, ("LinearGLU", "LinearGLU")),     # repeated class -> name counters
+    (2, 1, ("Sum", "ConcatFC")),
+    (3, 1, ("ScaleDotAttn", "Sum", "ConcatFC")),  # ego-like node_steps=3
+])
+def test_fused_multi_step_cell_matches_composite(node_steps, node_multiplier,
+                                                 ops):
+    """found_node_cell_multi_fused == FoundNodeCell composite eval forward
+    for chained inner steps and node_multiplier out_conv (NTU/ego found
+    shapes the single-step kernel could not host)."""
+    from bmnas_tpu.models.foundnet import FoundNodeCell
+    from bmnas_tpu.ops.kernels.node_mixed import (
+        found_cell_params_from_flax,
+        found_cell_steps_cfg,
+        found_node_cell_multi_fused,
+    )
+
+    B, L, C = 3, 8, 16
+    x = jnp.asarray(RNG.randn(B, L, C).astype(np.float32))
+    y = jnp.asarray(RNG.randn(B, L, C).astype(np.float32))
+    # chained edges: step i consumes states (i, i+1) -> exercises chaining
+    inner_edges = tuple(
+        e for i in range(node_steps) for e in (("skip", i), ("skip", i + 1)))
+    cell = FoundNodeCell(inner_edges=inner_edges, inner_steps=ops,
+                         node_steps=node_steps,
+                         node_multiplier=node_multiplier,
+                         C=C, L=L, drpt=0.0)
+    variables = cell.init(jax.random.PRNGKey(0), x, y, True)
+    if "batch_stats" in variables:
+        variables = jax.tree_util.tree_map(
+            lambda a: a + jnp.asarray(
+                RNG.rand(*a.shape).astype(np.float32) * 0.5),
+            variables)
+    want = cell.apply(variables, x, y, False)
+
+    p = found_cell_params_from_flax(variables, ops, C, L, node_multiplier)
+    cfg = found_cell_steps_cfg(inner_edges, ops)
+    got = found_node_cell_multi_fused(x, y, p, cfg,
+                                      multiplier=node_multiplier,
+                                      interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+    # and through the module's own fused_eval switch (identical params)
+    fused_cell = cell.clone(fused_eval=True)
+    got2 = fused_cell.apply(variables, x, y, False)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_fused_fallback_logs_reason(caplog):
+    """A genotype outside the fusable set must fall back to the composite
+    WITH a log line (VERDICT r2 item 5: no silent no-op)."""
+    import logging
+
+    from bmnas_tpu.models.foundnet import FoundNodeCell
+
+    B, L, C = 2, 4, 8
+    x = jnp.asarray(RNG.randn(B, L, C).astype(np.float32))
+    y = jnp.asarray(RNG.randn(B, L, C).astype(np.float32))
+    cell = FoundNodeCell(inner_edges=(("fc_relu", 0), ("skip", 1)),
+                         inner_steps=("Sum",), node_steps=1,
+                         node_multiplier=1, C=C, L=L, drpt=0.0,
+                         fused_eval=True)
+    variables = cell.init(jax.random.PRNGKey(0), x, y, True)
+    with caplog.at_level(logging.INFO, logger="bmnas_tpu"):
+        out = cell.apply(variables, x, y, False)
+    assert out.shape == (B, L, C)
+    assert any("composite fallback" in r.message for r in caplog.records)

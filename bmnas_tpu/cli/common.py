@@ -90,6 +90,31 @@ def add_common_flags(parser: argparse.ArgumentParser, *, datadir_default: str,
                              'unrolled differentiation through a virtual '
                              'SGD step; the reference ships this flag but '
                              'only dead first-order code)')
+    add_data_backend_flags(parser)
+
+
+def add_data_backend_flags(parser: argparse.ArgumentParser) -> None:
+    parser.add_argument('--data_backend', type=str, default='threads',
+                        choices=['threads', 'grain'],
+                        help='host input pipeline: in-tree thread-pool '
+                             'loaders (default, deterministic order shared '
+                             'with --device_data_cache) or grain '
+                             '(process-parallel, checkpointable iterators; '
+                             'its deterministic shuffle order differs)')
+    parser.add_argument('--grain_workers', type=int, default=0,
+                        help='grain worker processes (0 = in-process)')
+
+
+def make_batch_iter(args, dataset, batchsize, *, shuffle, seed,
+                    seeded_samples=False):
+    """One epoch's host-batch iterator via the selected --data_backend."""
+    if getattr(args, "data_backend", "threads") == "grain":
+        from bmnas_tpu.data.grain_pipeline import grain_batches
+        return grain_batches(dataset, batchsize, shuffle=shuffle, seed=seed,
+                             epoch=0,
+                             worker_count=getattr(args, "grain_workers", 0),
+                             seeded_samples=seeded_samples)
+    return dataset.batches(batchsize, shuffle=shuffle, seed=seed)
 
 
 def _stage_seed(stage: str) -> int:

@@ -101,10 +101,12 @@ def _setup_data(args, parallel_ctx):
     dataset_sizes = {s: len(d) for s, d in datasets.items()}
     place = parallel_ctx.shard_batch if parallel_ctx else None
 
+    from bmnas_tpu.cli.common import make_batch_iter
+
     def loader(stage):
         def make(epoch):
-            it = datasets[stage].batches(
-                batchsize, shuffle=True,
+            it = make_batch_iter(
+                args, datasets[stage], batchsize, shuffle=True,
                 seed=(args.seed * 1000003 + epoch * 131 + _stage_seed(stage)))
             return device_prefetch(it, size=2, place=place)
         return make

@@ -114,6 +114,8 @@ def _add_ntu_flags(parser, *, search: bool):
                         help='rematerialize backbone activations in the '
                              'backward pass (jax.checkpoint) - for found-'
                              'phase training at large batch on one chip')
+    from bmnas_tpu.cli.common import add_data_backend_flags
+    add_data_backend_flags(parser)
     if not search:
         parser.add_argument('--search_exp_dir', type=str, default=None)
         parser.add_argument('--fused_kernels', action='store_true',
@@ -156,11 +158,14 @@ def _setup_data(args, parallel_ctx, stages):
     dataset_sizes = {p: len(d) for p, d in datasets.items()}
     place = parallel_ctx.shard_batch if parallel_ctx else None
 
+    from bmnas_tpu.cli.common import make_batch_iter
+
     def loader(phase):
         def make(epoch):
-            it = datasets[phase].batches(
-                batchsize, shuffle=True,
-                seed=(args.seed * 1000003 + epoch * 131 + _stage_seed(phase)))
+            it = make_batch_iter(
+                args, datasets[phase], batchsize, shuffle=True,
+                seed=(args.seed * 1000003 + epoch * 131 + _stage_seed(phase)),
+                seeded_samples=True)
             return device_prefetch(it, size=2, place=place)
         return make
 

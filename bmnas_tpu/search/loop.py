@@ -87,6 +87,12 @@ def run_training(
     best_metric, best_genotype, best_epoch = 0.0, None, 0
     best_test_metric, best_test_genotype, best_test_epoch = 0.0, None, 0
 
+    # Multi-process runs: every worker computes identical state (replicated
+    # deterministic updates), so only process 0 writes best/checkpoint/
+    # metrics/plot artifacts — the others' -procN exp dirs keep log.txt only.
+    from bmnas_tpu.parallel.multihost import is_primary_host
+    primary = is_primary_host()
+
     if status == "search":
         phases = ["train", "dev"]
     elif task == "mmimdb":
@@ -137,6 +143,12 @@ def run_training(
                     import jax.numpy as jnp
                     cache = device_cache["caches"][phase]
                     idxs_all = device_cache["indices"](phase, epoch)
+                    # NOTE: a tail chunk shorter than spd compiles a second
+                    # scan program specialized to the tail length — once per
+                    # (phase shape, tail length), cached across epochs.
+                    # Padding it with -1 index rows would NOT be equivalent:
+                    # an all-masked weight step still applies weight decay
+                    # and advances the Adam moments and LR schedule.
                     for start in range(0, len(idxs_all), spd):
                         idx = jnp.asarray(idxs_all[start:start + spd])
                         k = idx.shape[0]
@@ -160,6 +172,23 @@ def run_training(
                     while True:
                         chunk = list(itertools.islice(it, spd))
                         if not chunk:
+                            break
+                        if len(chunk) < spd:
+                            # tail chunk: run the already-jitted single-step
+                            # functions instead of compiling a second scan
+                            # program specialized to the tail length
+                            # (identical math/PRNG stream either way)
+                            for b in chunk:
+                                if arch_steps:
+                                    state, counts = fns.arch_step(state, b)
+                                elif trains_weights:
+                                    state, counts = fns.weight_step(
+                                        state, b,
+                                        np.float32(scheduler.step()))
+                                else:
+                                    counts = fns.eval_step(state, b)
+                                counts_total = _accumulate(counts_total,
+                                                           counts)
                             break
                         stacked = jax.tree_util.tree_map(
                             lambda *xs: jnp.stack(xs), *chunk)
@@ -204,18 +233,19 @@ def run_training(
                         phase, epoch_loss, epoch_metric))
 
                 # machine-readable metrics stream (not in the reference)
-                try:
-                    import json
-                    with open(os.path.join(args.save, "metrics.jsonl"),
-                              "a") as mf:
-                        mf.write(json.dumps({
-                            "epoch": epoch, "phase": phase,
-                            "loss": epoch_loss, "metric": epoch_metric,
-                            "metric_name": ("%s_f1" % f1_type
-                                            if metric == "f1" else "acc"),
-                        }) + "\n")
-                except OSError:
-                    pass
+                if primary:
+                    try:
+                        import json
+                        with open(os.path.join(args.save, "metrics.jsonl"),
+                                  "a") as mf:
+                            mf.write(json.dumps({
+                                "epoch": epoch, "phase": phase,
+                                "loss": epoch_loss, "metric": epoch_metric,
+                                "metric_name": ("%s_f1" % f1_type
+                                                if metric == "f1" else "acc"),
+                            }) + "\n")
+                    except OSError:
+                        pass
 
                 num_params = sum(
                     count_parameters(v) for k, v in state.params.items()
@@ -237,12 +267,14 @@ def run_training(
                         best_metric = epoch_metric
                         best_genotype = copy.deepcopy(genotype)
                         best_epoch = epoch
-                        ckpt.save_model(
-                            os.path.join(args.save, "best", "best_model.pt"),
-                            state.params, state.batch_stats, state.arch)
-                        if best_genotype is not None:
-                            save_genotype(best_genotype, os.path.join(
-                                args.save, "best", "best_genotype.pkl"))
+                        if primary:
+                            ckpt.save_model(
+                                os.path.join(args.save, "best",
+                                             "best_model.pt"),
+                                state.params, state.batch_stats, state.arch)
+                            if best_genotype is not None:
+                                save_genotype(best_genotype, os.path.join(
+                                    args.save, "best", "best_genotype.pkl"))
 
                 if phase == "test":
                     is_better = (epoch_metric > best_test_metric
@@ -252,20 +284,23 @@ def run_training(
                         best_test_metric = epoch_metric
                         best_test_genotype = copy.deepcopy(genotype)
                         best_test_epoch = epoch
-                        ckpt.save_model(
-                            os.path.join(args.save, "best",
-                                         "best_test_model.pt"),
-                            state.params, state.batch_stats, state.arch)
-                        if best_test_genotype is not None:
-                            save_genotype(best_test_genotype, os.path.join(
-                                args.save, "best", "best_test_genotype.pkl"))
+                        if primary:
+                            ckpt.save_model(
+                                os.path.join(args.save, "best",
+                                             "best_test_model.pt"),
+                                state.params, state.batch_stats, state.arch)
+                            if best_test_genotype is not None:
+                                save_genotype(
+                                    best_test_genotype,
+                                    os.path.join(args.save, "best",
+                                                 "best_test_genotype.pkl"))
 
             if profiling:
                 jax.profiler.stop_trace()
                 profiling = False
                 logger.info("Profiler trace written to %s", profile_dir)
 
-            if plotter is not None and genotype is not None:
+            if plotter is not None and genotype is not None and primary:
                 plotter.plot(genotype,
                              os.path.join(args.save, "architectures",
                                           "epoch_{}".format(epoch)),
@@ -282,7 +317,7 @@ def run_training(
                 logger.info("Current best test accuracy: {}, at training epoch: {}"
                             .format(best_test_metric, best_test_epoch))
 
-            if save_resume:
+            if save_resume and primary:
                 ckpt.save_state(
                     os.path.join(args.save, "checkpoint.msgpack"), state,
                     extra={"epoch": epoch, "scheduler": scheduler.state(),

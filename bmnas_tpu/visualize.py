@@ -32,6 +32,33 @@ def _input_labels(task: str, num_input_nodes: int) -> List[str]:
     return labels
 
 
+def _plain_dot(genotype, filename: str, labels: List[str],
+               num_keep_edges: int, node_steps: int,
+               node_multiplier: int) -> None:
+    """Write DOT source without the graphviz package: plain nodes/edges only
+    (no cluster styling), so every epoch's architecture is still recorded."""
+    steps = len(genotype.edges) // num_keep_edges
+    node_names = list(labels) + [f"Z_C{i+1}" for i in range(steps)]
+    lines = ["digraph genotype {", "  rankdir=LR;"]
+    for i in range(steps):
+        sg = genotype.steps[i]
+        inner = [f"X_C{i+1}", f"Y_C{i+1}"]
+        for j in range(node_steps):
+            inner.append(f"C{i+1}_S{j+1}_{sg.inner_steps[j]}")
+        for j in range(node_steps):
+            lines.append(f'  "{inner[sg.inner_edges[2*j][1]]}" -> "{inner[2+j]}";')
+            lines.append(f'  "{inner[sg.inner_edges[2*j+1][1]]}" -> "{inner[2+j]}";')
+        for j in range(node_multiplier):
+            lines.append(f'  "{inner[-(j+1)]}" -> "Z_C{i+1}";')
+        lines.append(f'  "{node_names[genotype.edges[2*i][1]]}" -> "X_C{i+1}";')
+        lines.append(f'  "{node_names[genotype.edges[2*i+1][1]]}" -> "Y_C{i+1}";')
+    for i in genotype.concat:
+        lines.append(f'  "{node_names[i]}" -> "Reduction_Output";')
+    lines.append("}")
+    with open(filename + ".dot", "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
 def plot_genotype(genotype, filename: str, *, task: str, num_input_nodes: int,
                   num_keep_edges: int, node_steps: int, node_multiplier: int,
                   fmt: str = "pdf") -> None:
@@ -40,6 +67,14 @@ def plot_genotype(genotype, filename: str, *, task: str, num_input_nodes: int,
     try:
         from graphviz import Digraph
     except ImportError:
+        # graphviz *python package* missing: still record the architecture
+        # as plain DOT text and say so (no silent plot loss)
+        import logging
+        logging.getLogger("bmnas_tpu").info(
+            "graphviz package not installed - wrote %s.dot instead of a "
+            "rendered plot", filename)
+        _plain_dot(genotype, filename, _input_labels(task, num_input_nodes),
+                   num_keep_edges, node_steps, node_multiplier)
         return
 
     g = Digraph(

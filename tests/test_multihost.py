@@ -165,5 +165,14 @@ def test_two_process_search_cli_end_to_end(tmp_path):
     # primary wrote the canonical exp dir; worker 1 a -proc1 suffixed one
     import glob as g
     assert g.glob(str(cwds[0] / "final_exp/mmimdb/search-EXP-*/best/best_genotype.pkl"))
+    assert g.glob(str(cwds[0] / "final_exp/mmimdb/search-EXP-*/checkpoint.msgpack"))
+    assert g.glob(str(cwds[0] / "final_exp/mmimdb/search-EXP-*/metrics.jsonl"))
     proc1 = g.glob(str(cwds[1] / "final_exp/mmimdb/search-EXP-*"))
     assert proc1 and all(d.endswith("-proc1") for d in proc1)
+    # non-primary processes must NOT write best/checkpoint/metrics artifacts
+    # (search/loop.py primary gating): worker 1's dir carries log.txt only
+    for d in proc1:
+        assert not g.glob(os.path.join(d, "best", "*"))
+        assert not os.path.exists(os.path.join(d, "checkpoint.msgpack"))
+        assert not os.path.exists(os.path.join(d, "metrics.jsonl"))
+        assert os.path.exists(os.path.join(d, "log.txt"))

@@ -31,6 +31,34 @@ BATCH = 8
 EPOCHS = 30
 TARGET_SECONDS = 3600.0
 
+# MFU roofs (FLOP/s). fp32: the measured 33 TFLOP/s matmul calibration of
+# this chip (README "Measured performance" — v5e has no native fp32 MXU mode;
+# XLA emits multi-pass bf16, and 33e12 is what a large fp32 matmul actually
+# sustains here). bf16: the v5e's nominal 197 TFLOP/s peak. Steps that mix a
+# bf16 backbone with an fp32 fusion path are scored against the bf16 roof —
+# conservative (their fp32 fraction can never reach it).
+FP32_ROOF = 33e12
+BF16_ROOF = 197e12
+
+
+def step_flops(jitted, *args):
+    """Per-step FLOPs from XLA's compiled cost analysis (None if the backend
+    refuses). Shares the jit signature, so this does not perturb timing."""
+    try:
+        ca = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        f = float(ca.get("flops", 0.0))
+        return f if f > 0 else None
+    except Exception:
+        return None
+
+
+def mfu(flops, t_step, roof):
+    if not flops or not t_step:
+        return None
+    return round(flops / t_step / roof, 4)
+
 
 def make_batch(seed):
     rr = np.random.RandomState(seed)
@@ -112,9 +140,10 @@ def measure(backbone_dtype):
         per = (time.perf_counter() - t0) / iters
         return per, s
 
+    w_flops = step_flops(fns.weight_step, state, batches[0], eta)
     t_w, state = timeit(lambda s, b: fns.weight_step(s, b, eta), state)
     t_a, state = timeit(lambda s, b: fns.arch_step(s, b), state)
-    return t_w, t_a
+    return t_w, t_a, w_flops
 
 
 def project(t_w, t_a):
@@ -186,6 +215,7 @@ def measure_ntu_found(batch=48, iters=60, warm=8):
                                None, donate=True)
     eta = np.float32(1e-3)
     batches = [mk(i) for i in range(2)]
+    flops = step_flops(fns.weight_step, state, batches[0], eta)
     s = state
     for i in range(warm):
         s, c = fns.weight_step(s, batches[i % 2], eta)
@@ -195,20 +225,107 @@ def measure_ntu_found(batch=48, iters=60, warm=8):
         s, c = fns.weight_step(s, batches[i % 2], eta)
     float(c["loss_sum"])
     t_step = (time.perf_counter() - t0) / iters
-    return batch / t_step, t_step
+    return batch / t_step, t_step, flops
+
+
+def measure_ego_search(batch=96, iters=60, warm=8):
+    """EgoGesture supernet weight step at reference shape (batch 96,
+    2x ResNeXt-101-3D frozen backbones, 32x112x112 RGB / 1-ch depth clips,
+    C=128, L=8, node_steps=3 — main_darts_searchable_ego.py defaults)."""
+    from bmnas_tpu.models.ego import EGO_FROZEN_PREFIXES, SearchableRGBDepthNet
+    from bmnas_tpu.models.supernet import init_arch_params
+    from bmnas_tpu.search.bilevel import (
+        TrainState,
+        build_step_functions,
+        cross_entropy,
+        make_arch_optimizer,
+        make_param_labels,
+        make_weight_optimizer,
+    )
+
+    cfg = dict(C=128, L=8, steps=2, multiplier=2, node_steps=3,
+               node_multiplier=3, num_input_nodes=8, num_keep_edges=2,
+               num_outputs=83, drpt=0.0)
+    model = SearchableRGBDepthNet(backbone_dtype=jnp.bfloat16, **cfg)
+    arch = init_arch_params(jax.random.PRNGKey(1), cfg["steps"],
+                            cfg["num_input_nodes"], cfg["node_steps"])
+
+    def mk(seed):
+        r = np.random.RandomState(seed)
+        return {
+            "rgb": jnp.asarray(r.rand(batch, 32, 112, 112, 3).astype(np.float32)),
+            "depth": jnp.asarray(r.rand(batch, 32, 112, 112, 1).astype(np.float32)),
+            "label": jnp.asarray(r.randint(0, 83, size=(batch,)).astype(np.int32)),
+            "mask": jnp.ones((batch,), jnp.float32),
+        }
+
+    batch0 = mk(0)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(2)},
+        batch0, arch, True)
+    labels = make_param_labels(variables["params"], EGO_FROZEN_PREFIXES)
+    w_tx = make_weight_optimizer(labels, weight_decay=1e-4)
+    arch_tx = make_arch_optimizer(3e-4, 1e-3)
+    state = TrainState(
+        params=variables["params"], batch_stats=variables["batch_stats"],
+        arch=arch, opt_w=w_tx.init(variables["params"]),
+        opt_arch=arch_tx.init(arch), rng=jax.random.PRNGKey(3),
+        step=jnp.asarray(0, jnp.int32))
+
+    def apply_fn(vs, b, a, train, rngs, mutable):
+        if mutable:
+            return model.apply(vs, b, a, train, rngs=rngs, mutable=mutable)
+        return model.apply(vs, b, a, train)
+
+    def counts_fn(logits, lab, mask):
+        preds = jnp.argmax(logits, axis=-1)
+        return {"correct": jnp.sum((preds == lab) * mask)}
+
+    fns = build_step_functions(apply_fn, cross_entropy, counts_fn, w_tx,
+                               arch_tx, donate=True)
+    eta = np.float32(3e-3)
+    batches = [mk(i) for i in range(2)]
+    flops = step_flops(fns.weight_step, state, batches[0], eta)
+    s = state
+    for i in range(warm):
+        s, c = fns.weight_step(s, batches[i % 2], eta)
+    float(c["loss_sum"])
+    t0 = time.perf_counter()
+    for i in range(iters):
+        s, c = fns.weight_step(s, batches[i % 2], eta)
+    float(c["loss_sum"])
+    t_step = (time.perf_counter() - t0) / iters
+    return batch / t_step, t_step, flops
+
+
+def recorded_ntu_search():
+    """Measured full-scale NTU search wall-clock, recorded by
+    benchmarks/ntu_fullscale_search.json (written after the on-chip run —
+    a 30-epoch search is too long to re-run inside bench.py)."""
+    import os
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "benchmarks", "ntu_fullscale_search.json")
+    try:
+        with open(path) as f:
+            rec = json.load(f)
+        return {"ntu_search_minutes": rec["wall_minutes"],
+                "ntu_search_note": rec.get("note", "")[:300]}
+    except Exception:
+        return {}
 
 
 def main():
-    t_w32, t_a32 = measure(jnp.float32)
+    t_w32, t_a32, w_flops32 = measure(jnp.float32)
     sps32, search32 = project(t_w32, t_a32)
-    t_w16, t_a16 = measure(jnp.bfloat16)
+    t_w16, t_a16, w_flops16 = measure(jnp.bfloat16)
     sps16, search16 = project(t_w16, t_a16)
     try:
-        ntu_sps, ntu_step = measure_ntu_found()
+        ntu_sps, ntu_step, ntu_flops = measure_ntu_found()
         ntu_detail = {
             "ntu_found_samples_per_sec": round(ntu_sps, 2),
             "ntu_found_step_ms": round(ntu_step * 1e3, 2),
             "ntu_found_batch": 48,
+            "ntu_found_mfu": mfu(ntu_flops, ntu_step, BF16_ROOF),
             "ntu_found_note": "whole-net training incl. 3D backbones, remat +"
                               " bf16 backbone; batch 96 = 19.6GB bf16 > one"
                               " 16GB chip (reference needs ~128GB aggregate,"
@@ -216,6 +333,16 @@ def main():
         }
     except Exception as e:  # keep the headline artifact robust
         ntu_detail = {"ntu_found_error": f"{type(e).__name__}: {e}"[:200]}
+    try:
+        ego_sps, ego_step, ego_flops = measure_ego_search()
+        ego_detail = {
+            "ego_search_samples_per_sec": round(ego_sps, 2),
+            "ego_search_step_ms": round(ego_step * 1e3, 2),
+            "ego_search_batch": 96,
+            "ego_search_mfu": mfu(ego_flops, ego_step, BF16_ROOF),
+        }
+    except Exception as e:
+        ego_detail = {"ego_search_error": f"{type(e).__name__}: {e}"[:200]}
     required_rate = EPOCHS * (TRAIN_N + DEV_N) / TARGET_SECONDS
     best = max(sps32, sps16)
     print(json.dumps({
@@ -228,9 +355,17 @@ def main():
             "fp32_weight_step_ms": round(t_w32 * 1e3, 2),
             "fp32_arch_step_ms": round(t_a32 * 1e3, 2),
             "fp32_projected_search_minutes": round(search32 / 60.0, 1),
+            "fp32_weight_step_mfu": mfu(w_flops32, t_w32, FP32_ROOF),
             "bf16_samples_per_sec": round(sps16, 2),
             "bf16_projected_search_minutes": round(search16 / 60.0, 1),
+            "bf16_weight_step_mfu": mfu(w_flops16, t_w16, BF16_ROOF),
+            "mfu_note": "flops from XLA cost_analysis; fp32 roof = measured "
+                        "33 TFLOP/s matmul calibration, bf16 roof = 197 "
+                        "TFLOP/s v5e peak (mixed-precision steps scored "
+                        "against the bf16 roof, conservative)",
             **ntu_detail,
+            **ego_detail,
+            **recorded_ntu_search(),
             "device": str(jax.devices()[0]),
         },
     }))

@@ -123,6 +123,13 @@ def _add_ntu_flags(parser, *, search: bool):
         parser.add_argument('--node_variant', type=str, default='bmnas',
                             choices=['bmnas', 'darts', 'mfas', 'aoa',
                                      'two_head_attn'])
+        parser.add_argument('--task_variant', type=str, default='bmnas',
+                            choices=['bmnas', 'simple_concat',
+                                     'ensemble_concat', 'ensemble',
+                                     'simple_concat_attn'],
+                            help='whole-net ablation baselines '
+                                 '(ntu_darts_searchable.py:275-680; dead '
+                                 'code in the reference, reachable here)')
         parser.add_argument('--eval_exp_dir', type=str, default=None)
         parser.add_argument('--momentum', type=float, default=0.9)
 
@@ -265,11 +272,20 @@ def run_found(args, logger, genotype, test_model_path=None):
 
     from bmnas_tpu.cli.common import backbone_dtype_from_args
     bdt = backbone_dtype_from_args(args)
-    model = FoundSkeletonImageNet.from_genotype(
-        genotype, backbone_dtype=bdt, remat=getattr(args, 'remat', False),
-        node_variant=getattr(args, 'node_variant', 'bmnas'),
-        fused_eval=getattr(args, 'fused_kernels', False),
-        **model_kwargs_from_args(args))
+    task_variant = getattr(args, 'task_variant', 'bmnas')
+    if task_variant != 'bmnas':
+        from bmnas_tpu.models.ntu import NTUAblationNet
+        model = NTUAblationNet(C=args.C, L=args.L,
+                               num_outputs=args.num_outputs, drpt=args.drpt,
+                               variant=task_variant, backbone_dtype=bdt,
+                               remat=getattr(args, 'remat', False))
+        genotype = None  # the ablation nets ignore it (self._genotype=None)
+    else:
+        model = FoundSkeletonImageNet.from_genotype(
+            genotype, backbone_dtype=bdt, remat=getattr(args, 'remat', False),
+            node_variant=getattr(args, 'node_variant', 'bmnas'),
+            fused_eval=getattr(args, 'fused_kernels', False),
+            **model_kwargs_from_args(args))
     batch = next(iter(datasets["train"].batches(batchsize, shuffle=False)))
     # eval optimizer covers the whole net (main_darts_found_ntu.py:122-139)
     state, w_tx, _ = init_train_state(model, None, batch, args, frozen_prefixes=())

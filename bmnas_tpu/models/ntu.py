@@ -133,6 +133,90 @@ class SearchableSkeletonImageNet(nn.Module):
         return nn.Dense(self.num_outputs, name="central_classifier")(out)
 
 
+class _AblationClassifier(nn.Module):
+    """Linear(C*L*k -> C) -> ReLU -> BN -> Linear(C -> num_outputs)
+    (ntu_darts_searchable.py:303-309 and twins)."""
+    C: int
+    num_outputs: int
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        from bmnas_tpu.ops.layers import BatchNorm
+        x = nn.Dense(self.C)(x)
+        x = nn.relu(x)
+        x = BatchNorm()(x, train)
+        return nn.Dense(self.num_outputs)(x)
+
+
+class NTUAblationNet(nn.Module):
+    """The reference's whole-net NTU ablation baselines
+    (ntu_darts_searchable.py:275-680), rebuilt as one module with a
+    ``variant`` switch instead of four near-identical classes:
+
+      simple_concat      — concat reshaped v3 + s3 -> MLP head (:275-368)
+      ensemble_concat    — + reshaped unimodal logits, concat 5 feats (:369-473)
+      ensemble           — reshaped unimodal logits only (:474-580)
+      simple_concat_attn — cross attention v3<->s3, concat (:582-680)
+
+    These are dead code in the reference (no CLI reaches them) and three of
+    the four CRASH on construction as shipped (`ReshapeInputLayer(C_in, C,
+    L)` missing the args param, :556-558; `ScaledDotAttn()` missing (C, L),
+    :611-612); rebuilt here to their evident intent and actually reachable
+    via ``--task_variant`` on the found NTU CLI. Reshape layers follow the
+    reference in being constructed for all inputs; the found-phase optimizer
+    covers the whole net (main_darts_found_ntu.py:122-139 semantics)."""
+    C: int
+    L: int
+    num_outputs: int
+    drpt: float
+    variant: str = "simple_concat"
+    remat: bool = False
+    backbone_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, batch, arch, train: bool):
+        del arch
+        from bmnas_tpu.ops.fusion_ops import ScaledDotAttn
+        image, skeleton = batch["image"], batch["skeleton"]
+        image = normalize_uint8_clip(image, batch.get("mask"))
+        rgb_out = Visual(self.num_outputs, remat=self.remat,
+                         dtype=self.backbone_dtype,
+                         name="rgbnet")(image, train)
+        ske_out = HCN(self.num_outputs, self.drpt, name="skenet")(skeleton,
+                                                                  train)
+        feats = _ntu_features(rgb_out, ske_out)
+        if self.variant in ("ensemble_concat", "ensemble"):
+            feats = feats + [rgb_out[-1], ske_out[1]]  # unimodal logits
+        reshaped = [
+            ReshapeInputLayer(C=self.C, L=self.L, drpt=self.drpt,
+                              name=f"reshape_{i}")(f, train)
+            for i, f in enumerate(feats)
+        ]
+        v2, v3, s3 = reshaped[2], reshaped[3], reshaped[7]
+        if self.variant == "simple_concat":
+            picked = [v3, s3]
+        elif self.variant == "ensemble_concat":
+            picked = [v2, v3, s3, reshaped[8], reshaped[9]]
+        elif self.variant == "ensemble":
+            picked = [reshaped[8], reshaped[9]]
+        elif self.variant == "simple_concat_attn":
+            out1 = ScaledDotAttn(C=self.C, L=self.L, name="attn1")(v3, s3,
+                                                                   train)
+            out2 = ScaledDotAttn(C=self.C, L=self.L, name="attn2")(s3, v3,
+                                                                   train)
+            picked = [out1, out2]
+        else:
+            raise ValueError(f"unknown NTU task variant {self.variant!r}")
+        out = jnp.concatenate(picked, axis=-1)
+        out = out.reshape(out.shape[0], -1)
+        return _AblationClassifier(C=self.C, num_outputs=self.num_outputs,
+                                   name="central_classifier")(out, train)
+
+
+NTU_TASK_VARIANTS = ("bmnas", "simple_concat", "ensemble_concat", "ensemble",
+                     "simple_concat_attn")
+
+
 class FoundSkeletonImageNet(nn.Module):
     """Genotype-compiled task model (ntu_darts_searchable.py:181-273)."""
     C: int

@@ -72,3 +72,65 @@ def test_temporal_crops():
     assert len(out3) == 32
     # downsample=2 picks every other frame of a 64-window
     assert out3[1] - out3[0] == 2
+
+
+class TestNTUTaskVariants:
+    """Whole-net NTU ablation baselines (ntu_darts_searchable.py:275-680)."""
+
+    @pytest.mark.parametrize("variant", ["simple_concat", "ensemble_concat",
+                                         "ensemble", "simple_concat_attn"])
+    def test_forward_shapes(self, variant):
+        import jax
+        import numpy as np
+
+        from bmnas_tpu.models.ntu import NTUAblationNet
+
+        r = np.random.RandomState(0)
+        batch = {
+            "image": r.rand(2, 8, 32, 32, 3).astype(np.float32),
+            "skeleton": r.randn(2, 32, 25, 2, 3).astype(np.float32),
+            "label": np.zeros((2,), np.int32),
+            "mask": np.ones((2,), np.float32),
+        }
+        model = NTUAblationNet(C=8, L=4, num_outputs=6, drpt=0.0,
+                               variant=variant)
+        v = model.init({"params": jax.random.PRNGKey(0),
+                        "dropout": jax.random.PRNGKey(1)}, batch, None, True)
+        out = model.apply(v, batch, None, False)
+        assert out.shape == (2, 6)
+        # the picked-feature head widths match the reference classifiers
+        k = {"simple_concat": 2, "ensemble_concat": 5, "ensemble": 2,
+             "simple_concat_attn": 2}[variant]
+        kern = v["params"]["central_classifier"]["Dense_0"]["kernel"]
+        assert kern.shape[0] == 8 * 4 * k
+
+    def test_cli_task_variant(self, tmp_path):
+        """--task_variant through the found NTU CLI end to end."""
+        import glob
+        import os
+
+        import numpy as np
+
+        from bmnas_tpu.cli.ntu import main_found, main_search
+        from bmnas_tpu.data.synthetic import make_ntu_synthetic
+
+        root = make_ntu_synthetic(str(tmp_path / "data"),
+                                  n_videos_per_subject=2,
+                                  subjects=(1, 8, 2, 5, 3, 6), num_actions=6,
+                                  hw=32, frames=70)
+        tiny = ["--small_dataset", "--batchsize", "2", "--epochs", "1",
+                "--C", "8", "--L", "4", "--num_outputs", "6",
+                "--num_workers", "2", "--seed", "3"]
+        cwd = os.getcwd()
+        os.chdir(tmp_path)
+        try:
+            main_search(["--datadir", root,
+                         "--checkpointdir", str(tmp_path)] + tiny)
+            exp = glob.glob("final_exp/ntu/search-*")[0]
+            acc = main_found(
+                ["--datadir", root, "--checkpointdir", str(tmp_path),
+                 "--search_exp_dir", exp, "--steps", "2",
+                 "--task_variant", "simple_concat_attn"] + tiny)
+            assert np.isfinite(acc)
+        finally:
+            os.chdir(cwd)

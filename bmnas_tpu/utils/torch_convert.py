@@ -121,6 +121,17 @@ def convert_vgg19(sd: Dict[str, np.ndarray], gpvgg_params: Dict,
 # HCN skeleton checkpoint
 # ---------------------------------------------------------------------------
 
+def hcn_out7_perm(C: int = 256, H: int = 2, W: int = 2) -> np.ndarray:
+    """Input-dim permutation for consumers of HCN's flattened out7: torch
+    flattens (N, C, H, W) channel-major, our channels-last HCN flattens
+    (N, H, W, C) L-major. perm[ours] = torch index; use as ``w[:, perm]``."""
+    perm = np.zeros(C * H * W, np.int64)
+    for h in range(H):
+        for w in range(W):
+            for c in range(C):
+                perm[h * W * C + w * C + c] = c * H * W + h * W + w
+    return perm
+
 def convert_hcn(sd: Dict[str, np.ndarray], hcn_params: Dict) -> Dict:
     """NTU Skeleton state dict -> HCN flax params.
 
@@ -147,14 +158,7 @@ def convert_hcn(sd: Dict[str, np.ndarray], hcn_params: Dict) -> Dict:
     # fc7: torch flattens (N, C=256, H=2, W=2) channel-major; ours flattens
     # (N, 2, 2, 256) L-major -> permute kernel rows.
     w7 = sd["fc7.0.weight"]           # (512, 1024)
-    C, H, W = 256, 2, 2
-    perm = np.zeros(C * H * W, np.int64)
-    for h in range(H):
-        for w in range(W):
-            for c in range(C):
-                ours = h * W * C + w * C + c
-                torch_i = c * H * W + h * W + w
-                perm[ours] = torch_i
+    perm = hcn_out7_perm()
     _set(params, "fc7/kernel", linear_kernel(w7[:, perm]))
     _set(params, "fc7/bias", sd["fc7.0.bias"])
     _set(params, "fc8/kernel", linear_kernel(sd["fc8.weight"]))
@@ -359,8 +363,19 @@ def convert_searchable_mmimdb(sd: Dict[str, np.ndarray], params: Dict,
          linear_kernel(sd["textnet.hid2val.weight"]))
     _set(params, "textnet/hid2val/bias", sd["textnet.hid2val.bias"])
 
-    # reshape layers (aux_models.py:87-115)
-    for i in range(6):
+    _convert_reshape_layers(sd, params, stats, 6)
+    _convert_fusion_and_classifier(sd, params, stats, C=C, L=L,
+                                   multiplier=multiplier,
+                                   node_steps=node_steps,
+                                   node_multiplier=node_multiplier,
+                                   steps=steps)
+    return params, stats
+
+
+def _convert_reshape_layers(sd, params, stats, n: int) -> None:
+    """ReshapeInputLayer / ReshapeInputLayer_MMIMDB stacks (conv1d + BN;
+    aux_models.py:51-76, :87-115)."""
+    for i in range(n):
         t = f"reshape_layers.{i}"
         if f"{t}.conv.weight" not in sd:
             continue  # found nets replace unused ones with nn.ReLU()
@@ -369,6 +384,12 @@ def convert_searchable_mmimdb(sd: Dict[str, np.ndarray], params: Dict,
         _set(params, f"{f}/Dense_0/bias", sd[f"{t}.conv.bias"])
         _bn_into(params, stats, sd, f"{t}.bn", f"{f}/BatchNorm_0/BatchNorm_0")
 
+
+def _convert_fusion_and_classifier(sd, params, stats, *, C: int, L: int,
+                                   multiplier: int, node_steps: int,
+                                   node_multiplier: int, steps: int) -> None:
+    """FusionNetwork supernet params + the flatten-permuted classifier —
+    shared by every task net (model_search.py / node_search.py structure)."""
     # fusion cell: per-step inner nodes (node_search.py:12-70,
     # node_operations.py:9-120)
     for i in range(steps):
@@ -418,6 +439,39 @@ def convert_searchable_mmimdb(sd: Dict[str, np.ndarray], params: Dict,
     _set(params, "central_classifier/kernel",
          linear_kernel(sd["central_classifier.weight"][:, perm]))
     _set(params, "central_classifier/bias", sd["central_classifier.bias"])
+
+
+def convert_searchable_ntu(sd: Dict[str, np.ndarray], params: Dict,
+                           stats: Dict, *, C: int, L: int, multiplier: int,
+                           node_steps: int, node_multiplier: int,
+                           steps: int) -> tuple:
+    """Reference Searchable_Skeleton_Image_Net state dict -> flax
+    (params, batch_stats) for models/ntu.SearchableSkeletonImageNet
+    (ntu_darts_searchable.py:71-178): inflated-ResNet Visual + HCN Skeleton
+    via the checkpoint converters, 8 reshape layers, the shared fusion cell
+    (node_steps=2, node_multiplier=2 at reference defaults) and the
+    flatten-permuted classifier."""
+    params = _to_mutable(params)
+    stats = _to_mutable(stats)
+    rgb_sd = {k[len("rgbnet."):]: v for k, v in sd.items()
+              if k.startswith("rgbnet.")}
+    params["rgbnet"], stats["rgbnet"] = convert_visual(
+        rgb_sd, params["rgbnet"], stats["rgbnet"])
+    ske_sd = {k[len("skenet."):]: v for k, v in sd.items()
+              if k.startswith("skenet.")}
+    params["skenet"] = convert_hcn(ske_sd, params["skenet"])
+    _convert_reshape_layers(sd, params, stats, 8)
+    # reshape_6 consumes HCN's flattened out7 (ntu_darts_searchable.py:
+    # 126-128) — channel-major in torch, L-major here; permute its conv's
+    # input dim like the fc7 converter does.
+    if "reshape_layers.6.conv.weight" in sd:
+        w6 = sd["reshape_layers.6.conv.weight"][:, hcn_out7_perm(), :]
+        _set(params, "reshape_6/Dense_0/kernel", conv1d_kernel(w6))
+    _convert_fusion_and_classifier(sd, params, stats, C=C, L=L,
+                                   multiplier=multiplier,
+                                   node_steps=node_steps,
+                                   node_multiplier=node_multiplier,
+                                   steps=steps)
     return params, stats
 
 

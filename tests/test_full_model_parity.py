@@ -100,9 +100,13 @@ def _no_dropout_interceptor(next_fn, args, kwargs, context):
 
 
 def _torch_disable_dropout(net):
+    # forward -> x.clone(), not .eval(): an eval-mode Dropout returns its
+    # input ALIASED, and the reference's in-place residual (`out += x`,
+    # node_search.py:67) would then mutate a tensor the backward pass needs
+    # (only reachable with dropout disabled — real training is safe).
     for m in net.modules():
-        if isinstance(m, torch.nn.Dropout):
-            m.eval()
+        if isinstance(m, torch.nn.modules.dropout._DropoutNd):
+            m.forward = (lambda x: x.clone())
 
 
 def _batches(seed=0):

@@ -41,17 +41,27 @@ FP32_ROOF = 33e12
 BF16_ROOF = 197e12
 
 
-def step_flops(jitted, *args):
-    """Per-step FLOPs from XLA's compiled cost analysis (None if the backend
-    refuses). Shares the jit signature, so this does not perturb timing."""
+def aot_step(jitted, *args):
+    """AOT-compile a step once and return (callable, flops).
+
+    The compiled executable is used for the timing loop itself (donation
+    semantics carry over from the jit wrapper), so the cost analysis does
+    NOT trigger a second compile — jitted.lower().compile() does not
+    populate the jit dispatch cache. Falls back to the jitted callable with
+    flops=None if the backend refuses."""
     try:
-        ca = jitted.lower(*args).compile().cost_analysis()
+        compiled = jitted.lower(*args).compile()
+    except Exception:
+        return jitted, None
+    try:
+        ca = compiled.cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
         f = float(ca.get("flops", 0.0))
-        return f if f > 0 else None
+        flops = f if f > 0 else None
     except Exception:
-        return None
+        flops = None
+    return compiled, flops
 
 
 def mfu(flops, t_step, roof):
@@ -140,8 +150,8 @@ def measure(backbone_dtype):
         per = (time.perf_counter() - t0) / iters
         return per, s
 
-    w_flops = step_flops(fns.weight_step, state, batches[0], eta)
-    t_w, state = timeit(lambda s, b: fns.weight_step(s, b, eta), state)
+    w_step, w_flops = aot_step(fns.weight_step, state, batches[0], eta)
+    t_w, state = timeit(lambda s, b: w_step(s, b, eta), state)
     t_a, state = timeit(lambda s, b: fns.arch_step(s, b), state)
     return t_w, t_a, w_flops
 
@@ -215,14 +225,14 @@ def measure_ntu_found(batch=48, iters=60, warm=8):
                                None, donate=True)
     eta = np.float32(1e-3)
     batches = [mk(i) for i in range(2)]
-    flops = step_flops(fns.weight_step, state, batches[0], eta)
+    w_step, flops = aot_step(fns.weight_step, state, batches[0], eta)
     s = state
     for i in range(warm):
-        s, c = fns.weight_step(s, batches[i % 2], eta)
+        s, c = w_step(s, batches[i % 2], eta)
     float(c["loss_sum"])
     t0 = time.perf_counter()
     for i in range(iters):
-        s, c = fns.weight_step(s, batches[i % 2], eta)
+        s, c = w_step(s, batches[i % 2], eta)
     float(c["loss_sum"])
     t_step = (time.perf_counter() - t0) / iters
     return batch / t_step, t_step, flops
@@ -285,14 +295,14 @@ def measure_ego_search(batch=96, iters=60, warm=8):
                                arch_tx, donate=True)
     eta = np.float32(3e-3)
     batches = [mk(i) for i in range(2)]
-    flops = step_flops(fns.weight_step, state, batches[0], eta)
+    w_step, flops = aot_step(fns.weight_step, state, batches[0], eta)
     s = state
     for i in range(warm):
-        s, c = fns.weight_step(s, batches[i % 2], eta)
+        s, c = w_step(s, batches[i % 2], eta)
     float(c["loss_sum"])
     t0 = time.perf_counter()
     for i in range(iters):
-        s, c = fns.weight_step(s, batches[i % 2], eta)
+        s, c = w_step(s, batches[i % 2], eta)
     float(c["loss_sum"])
     t_step = (time.perf_counter() - t0) / iters
     return batch / t_step, t_step, flops

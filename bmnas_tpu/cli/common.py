@@ -156,6 +156,12 @@ def fail_fast_checks(args):
     datadir = getattr(args, "datadir", None)
     if datadir and not os.path.isdir(datadir):
         raise SystemExit(f"--datadir: directory not found: {datadir}")
+    if getattr(args, "data_backend", "threads") == "grain":
+        try:
+            import grain.python  # noqa: F401
+        except ImportError:
+            raise SystemExit(
+                "--data_backend grain: the grain package is not installed")
 
 
 def maybe_parallel(args):

@@ -266,6 +266,20 @@ class NTUDataset:
             idxs = order[start:start + batch_size]
             seeds = [int(seed * 7919 + i) for i in idxs]
             samples = list(self._pool.map(self.load_sample, idxs, seeds))
+            # Mixed-source split (.avi/uint8-npy next to float npy): uint8
+            # samples stay raw while float ones are already host-normalized;
+            # a batch must be one dtype, so normalize the uint8 minority on
+            # host (identical math to the device path) instead of silently
+            # casting into samples[0]'s dtype.
+            dtypes = {s["image"].dtype for s in samples}
+            if len(dtypes) > 1:
+                for s in samples:
+                    if s["image"].dtype == np.uint8:
+                        img = s["image"] / 255.0
+                        s["image"] = (
+                            (img - IMAGENET_MEAN.reshape(1, 1, 1, 3))
+                            / IMAGENET_STD.reshape(1, 1, 1, 3)
+                        ).astype(np.float32)
             n = len(samples)
             b = batch_size if pad_to_full else n
             out = {

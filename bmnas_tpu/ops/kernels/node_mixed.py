@@ -187,21 +187,6 @@ def _kernel(gamma_ref, x_ref, y_ref, ln_s_ref, ln_b_ref, gw_ref, gb_ref,
     out_ref[:] = out2.astype(out_ref.dtype)  # f32 accum -> output dtype (bf16 serving)
 
 
-def _cell_kernel(gamma_ref, x_ref, y_ref, r_ref, ln_s_ref, ln_b_ref, gw_ref,
-                 gb_ref, cw_ref, cb_ref, ln2_s_ref, ln2_b_ref, out_ref, *,
-                 eps: float, L: int, tile_b: int, static_branch: int = None):
-    """Whole FoundNodeCell step: mixed op + residual + output LayerNorm in
-    one VMEM residency (node.py:8-76 eval semantics, node_steps=1)."""
-    out2, same_blk = _mixed_body(gamma_ref, x_ref[:], y_ref[:], ln_s_ref[:],
-                                 ln_b_ref[:], gw_ref[:], gb_ref[:], cw_ref[:],
-                                 cb_ref[:], eps=eps, L=L,
-                                 static_branch=static_branch)
-    o = out2 + r_ref[:]                      # "skip v4" residual
-    C = o.shape[1]
-    out_ref[:] = _block_layernorm(o, same_blk, ln2_s_ref[:], ln2_b_ref[:],
-                                  L=L, C=C, eps=eps).astype(out_ref.dtype)
-
-
 @functools.partial(jax.jit, static_argnames=("eps", "interpret", "tile_b"))
 def node_mixed_op_fused(x: jnp.ndarray, y: jnp.ndarray, gammas: jnp.ndarray,
                         p: NodeMixedParams, eps: float = 1e-5,
@@ -289,84 +274,6 @@ def params_from_flax(node_mixed_params: dict, eps: float = 1e-5
         ln_scale=ln["scale"], ln_bias=ln["bias"],
         glu_kernel=glu_k, glu_bias=glu_b,
         cfc_kernel=cfc_k, cfc_bias=cfc_b)
-
-
-@functools.partial(jax.jit, static_argnames=("eps", "interpret", "tile_b",
-                                               "static_branch"))
-def found_node_cell_fused(x: jnp.ndarray, y: jnp.ndarray,
-                          residual: jnp.ndarray, gammas: jnp.ndarray,
-                          p: NodeMixedParams, ln2_scale: jnp.ndarray,
-                          ln2_bias: jnp.ndarray, eps: float = 1e-5,
-                          interpret: bool = False, tile_b: int = 8,
-                          static_branch: int = None) -> jnp.ndarray:
-    """Fused eval-mode FoundNodeCell (node_steps=1, node_multiplier=1):
-
-        out = LayerNorm2D( mixed_op(x, y) + residual )
-
-    where mixed_op is the gamma-weighted four-branch combine. A found net
-    passes ``static_branch`` (its genotype's inner op is compile-time
-    constant), which specializes the kernel to emit ONLY that branch's GEMMs
-    — no wasted MXU work; gammas are then ignored. Without it, a one-hot
-    gamma selects dynamically (all branches computed). This is the
-    whole-cell fusion the mixed-op kernel docstring proposes: edge outputs,
-    the inner op's three GEMMs, the residual and the output LayerNorm all
-    happen in one VMEM residency per tile instead of round-tripping HBM
-    between flax modules. Reference semantics: node.py:8-76 (residual
-    :73-74), node_operations.py:110-120.
-    """
-    B, L, C = x.shape
-    tile_b = min(tile_b, max(1, B))
-    Bp = ((B + tile_b - 1) // tile_b) * tile_b
-    if Bp != B:
-        pad = [(0, Bp - B), (0, 0), (0, 0)]
-        x = jnp.pad(x, pad)
-        y = jnp.pad(y, pad)
-        residual = jnp.pad(residual, pad)
-    R = tile_b * L
-    x2 = x.reshape(Bp * L, C)
-    y2 = y.reshape(Bp * L, C)
-    r2 = residual.reshape(Bp * L, C)
-    ln_s = jnp.tile(p.ln_scale, (tile_b, 1))          # (R, C)
-    ln_b = jnp.tile(p.ln_bias, (tile_b, 1))
-    ln2_s = jnp.tile(ln2_scale, (tile_b, 1))
-    ln2_b = jnp.tile(ln2_bias, (tile_b, 1))
-    gb2 = p.glu_bias.reshape(1, 2 * C)
-    cb2 = p.cfc_bias.reshape(1, C)
-    gammas2d = jnp.reshape(gammas.astype(jnp.float32), (1, 4))
-    grid = (Bp // tile_b,)
-    tile = lambda i: (i, 0)
-    full = lambda i: (0, 0)
-    out = pl.pallas_call(
-        functools.partial(_cell_kernel, eps=eps, L=L, tile_b=tile_b,
-                          static_branch=static_branch),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((R, C), tile, memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, C), tile, memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, C), tile, memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, C), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, C), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((2 * C, 2 * C), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2 * C), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((2 * C, C), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, C), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, C), full, memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((R, C), tile, memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Bp * L, C), x.dtype),
-        interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=(Bp // tile_b) * (2 * R * R * C * 2
-                                    + 2 * R * 2 * C * 2 * C
-                                    + 2 * R * 2 * C * C),
-            bytes_accessed=Bp * L * C * 4 * 4 + (2 * C) * (3 * C) * 4,
-            transcendentals=(Bp // tile_b) * R * (R + C),
-        ),
-    )(gammas2d, x2, y2, r2, ln_s, ln_b, p.glu_kernel, gb2, p.cfc_kernel, cb2,
-      ln2_s, ln2_b)
-    return out.reshape(Bp, L, C)[:B]
 
 
 # one-hot branch index per inner-op name (STEP_STEP_PRIMITIVES order;
@@ -612,56 +519,3 @@ def found_cell_params_from_flax(cell_variables: dict, inner_steps,
         cfc_kernel=jnp.stack(cfc_k), cfc_bias=jnp.stack(cfc_b),
         oc_kernel=oc_k, oc_bias=oc_b,
         ln2_scale=ln2["scale"], ln2_bias=ln2["bias"])
-
-
-def found_node_params_from_flax(cell_variables: dict, op_name: str,
-                                C: int, L: int, eps: float = 1e-5):
-    """Build fused-cell parameters from a FoundNodeCell's variables subtree.
-
-    A found net owns parameters only for its genotype's chosen inner op
-    (flax names: SumOp_0 / ScaledDotAttn_0 / LinearGLU_0 / ConcatFC_0) plus
-    the cell-level output LayerNorm2D_0; unused branches get zeros and the
-    returned gamma one-hot switches them off.
-
-    Returns (gammas, NodeMixedParams, ln2_scale, ln2_bias).
-    """
-    params = cell_variables["params"]
-    stats = cell_variables.get("batch_stats", {})
-    idx = FUSABLE_STEP_OPS[op_name]
-    gammas = jnp.zeros((4,), jnp.float32).at[idx].set(1.0)
-
-    ln_scale = jnp.zeros((L, C), jnp.float32)
-    ln_bias = jnp.zeros((L, C), jnp.float32)
-    glu_k = jnp.zeros((2 * C, 2 * C), jnp.float32)
-    glu_b = jnp.zeros((2 * C,), jnp.float32)
-    cfc_k = jnp.zeros((2 * C, C), jnp.float32)
-    cfc_b = jnp.zeros((C,), jnp.float32)
-
-    if idx == 1:
-        ln = params["ScaledDotAttn_0"]["LayerNorm2D_0"]
-        ln_scale, ln_bias = ln["scale"], ln["bias"]
-    elif idx == 2:
-        glu_p = params["LinearGLU_0"]
-        glu_s = stats["LinearGLU_0"]
-        glu_k, glu_b = fuse_bn_into_dense(
-            glu_p["Dense_0"]["kernel"], glu_p["Dense_0"]["bias"],
-            glu_p["BatchNorm_0"]["BatchNorm_0"]["scale"],
-            glu_p["BatchNorm_0"]["BatchNorm_0"]["bias"],
-            glu_s["BatchNorm_0"]["BatchNorm_0"]["mean"],
-            glu_s["BatchNorm_0"]["BatchNorm_0"]["var"], eps)
-    elif idx == 3:
-        key = "ConcatFC_0"
-        cfc_p = params[key]
-        cfc_s = stats[key]
-        cfc_k, cfc_b = fuse_bn_into_dense(
-            cfc_p["Dense_0"]["kernel"], cfc_p["Dense_0"]["bias"],
-            cfc_p["BatchNorm_0"]["BatchNorm_0"]["scale"],
-            cfc_p["BatchNorm_0"]["BatchNorm_0"]["bias"],
-            cfc_s["BatchNorm_0"]["BatchNorm_0"]["mean"],
-            cfc_s["BatchNorm_0"]["BatchNorm_0"]["var"], eps)
-
-    ln2 = params["LayerNorm2D_0"]
-    p = NodeMixedParams(ln_scale=ln_scale, ln_bias=ln_bias,
-                        glu_kernel=glu_k, glu_bias=glu_b,
-                        cfc_kernel=cfc_k, cfc_bias=cfc_b)
-    return gammas, p, ln2["scale"], ln2["bias"]

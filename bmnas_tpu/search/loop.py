@@ -150,7 +150,12 @@ def run_training(
                     # an all-masked weight step still applies weight decay
                     # and advances the Adam moments and LR schedule.
                     for start in range(0, len(idxs_all), spd):
-                        idx = jnp.asarray(idxs_all[start:start + spd])
+                        # numpy, not jnp.asarray: a host array enters the jit
+                        # as replicated on the global mesh, which is what a
+                        # multi-process --parallel cluster needs (jnp.asarray
+                        # would commit it to one local device and clash with
+                        # the globally-sharded cache arrays)
+                        idx = idxs_all[start:start + spd]
                         k = idx.shape[0]
                         if arch_steps:
                             state, counts = gather_fns.arch_step_many(

@@ -8,7 +8,7 @@ test-only CLI mode). Production-oriented additions here:
   * optional bfloat16 activations/weights (MXU-native; backbone convs
     dominate and are numerically robust at bf16 — logits computed in fp32);
   * ``fused=True``: the fusion cell's eval forward runs as one Pallas
-    whole-cell kernel (ops/kernels/node_mixed.found_node_cell_fused — inner
+    whole-cell kernel (ops/kernels/node_mixed.found_node_cell_multi_fused — inner
     op + residual + LayerNorm in a single VMEM residency, BNs folded);
     applies to node_steps=1/node_multiplier=1 genotypes, off by default;
   * fixed batch with mask padding, matching the training data contract;

@@ -180,4 +180,32 @@ class TestUint8DeviceNormalization:
                         "dropout": jax.random.PRNGKey(2)}, b_dev, arch, False)
         out_dev = np.asarray(model.apply(v, b_dev, arch, False))
         out_host = np.asarray(model.apply(v, b_host, arch, False))
-        np.testing.assert_allclose(out_dev, out_host, rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(out_dev, out_host, rtol=1e-5, atol=1e-5)
+
+    def test_mixed_uint8_float_sources_normalize_consistently(self, tmp_path):
+        """A split mixing raw-uint8 and float (pre-normalized) npy sources
+        must not silently cast one into the other's dtype: the uint8
+        minority is host-normalized so the whole batch is one fp32 space."""
+        import numpy as np
+
+        from bmnas_tpu.data.ntu import NTUDataset
+        from bmnas_tpu.data.synthetic import make_ntu_synthetic
+
+        root = make_ntu_synthetic(str(tmp_path), n_videos_per_subject=2,
+                                  subjects=(1, 8), hw=32, frames=70)
+        # convert one train clip to the float fallback format (already
+        # normalized values, as a legacy fixture would carry)
+        import glob
+        import os
+        rgb_dir = os.path.join(root, "nturgb+d_rgb_256x256_30")
+        f0 = sorted(glob.glob(os.path.join(rgb_dir, "*_rgb.npy")))[0]
+        raw = np.load(f0).astype(np.float32)
+        mean = np.asarray([0.485, 0.456, 0.406], np.float32)
+        std = np.asarray([0.229, 0.224, 0.225], np.float32)
+        np.save(f0, ((raw / 255.0) - mean) / std)
+
+        ds = NTUDataset(root, "train", num_workers=2)
+        b = next(iter(ds.batches(4, shuffle=False)))
+        assert b["image"].dtype == np.float32
+        # every row is in normalized space (raw uint8 would sit in [0, 255])
+        assert np.abs(b["image"]).max() < 10.0

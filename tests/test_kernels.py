@@ -69,13 +69,15 @@ def test_bn_folding():
 @pytest.mark.parametrize("op", ["Sum", "ScaleDotAttn", "LinearGLU",
                                 "ConcatFC"])
 def test_fused_found_cell_matches_composite(op):
-    """found_node_cell_fused (one Pallas kernel: inner op + residual + LN)
-    == FoundNodeCell's composite eval forward, for every inner op, with
-    parameters extracted+folded straight from the flax variables tree."""
+    """The whole-cell kernel (inner op + residual + LN in one Pallas call)
+    == FoundNodeCell's composite eval forward, for every inner op at
+    node_steps=1, with parameters extracted+folded straight from the flax
+    variables tree."""
     from bmnas_tpu.models.foundnet import FoundNodeCell
     from bmnas_tpu.ops.kernels.node_mixed import (
-        found_node_cell_fused,
-        found_node_params_from_flax,
+        found_cell_params_from_flax,
+        found_cell_steps_cfg,
+        found_node_cell_multi_fused,
     )
 
     B, L, C = 3, 8, 16
@@ -93,10 +95,10 @@ def test_fused_found_cell_matches_composite(op):
             variables)
     want = cell.apply(variables, x, y, False)
 
-    gammas, p, ln2_s, ln2_b = found_node_params_from_flax(
-        variables, op, C, L)
-    got = found_node_cell_fused(x, y, x, gammas, p, ln2_s, ln2_b,
-                                interpret=True)
+    p = found_cell_params_from_flax(variables, (op,), C, L, 1)
+    cfg = found_cell_steps_cfg((("skip", 0), ("skip", 1)), (op,))
+    got = found_node_cell_multi_fused(x, y, p, cfg, multiplier=1,
+                                      interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-4)
 
@@ -146,14 +148,22 @@ def test_fused_eval_full_found_net_and_server():
 def test_fused_cell_bf16_dtype():
     """bf16 serving regression: the kernels accumulate in f32 but must store
     back in the output dtype (crashed with 'Invalid dtype for swap' before)."""
-    from bmnas_tpu.ops.kernels.node_mixed import found_node_cell_fused
+    from bmnas_tpu.ops.kernels.node_mixed import (
+        FoundCellParams,
+        found_node_cell_multi_fused,
+    )
 
     B, L, C = 2, 4, 8
     p = make_params(L, C)
+    cp = FoundCellParams(
+        ln1_scale=p.ln_scale[None], ln1_bias=p.ln_bias[None],
+        glu_kernel=p.glu_kernel[None], glu_bias=p.glu_bias[None],
+        cfc_kernel=p.cfc_kernel[None], cfc_bias=p.cfc_bias[None],
+        oc_kernel=None, oc_bias=None,
+        ln2_scale=jnp.ones((L, C)), ln2_bias=jnp.zeros((L, C)))
     x = jnp.asarray(RNG.randn(B, L, C).astype(np.float32)).astype(jnp.bfloat16)
-    out = found_node_cell_fused(x, x, x, jnp.asarray([0.0, 1.0, 0.0, 0.0]), p,
-                                jnp.ones((L, C)), jnp.zeros((L, C)),
-                                interpret=True, static_branch=1)
+    out = found_node_cell_multi_fused(
+        x, x, cp, ((1, (True, 0), (True, 1)),), multiplier=1, interpret=True)
     assert out.dtype == jnp.bfloat16
     assert np.isfinite(np.asarray(out, np.float32)).all()
     got16 = node_mixed_op_fused(x, x, jnp.asarray([0.25] * 4), p,

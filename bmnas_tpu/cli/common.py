@@ -224,13 +224,39 @@ def init_train_state(model, arch, batch, args, frozen_prefixes):
 
 
 def apply_resume(state, scheduler, args, logger):
-    """--resume <checkpoint.msgpack>: restore full train state + scheduler."""
-    if getattr(args, "resume", None):
-        from bmnas_tpu.utils import checkpoint as ckpt
-        state, extra = ckpt.restore_state(args.resume, state)
-        scheduler.load_state(extra["scheduler"])
-        logger.info("Resumed from %s at epoch %s", args.resume, extra["epoch"])
-    return state
+    """--resume <checkpoint.msgpack>: restore full train state + scheduler.
+
+    Returns ``(state, resume_info)``. ``resume_info`` (None without
+    --resume) carries ``start_epoch`` (training continues AFTER the
+    checkpointed epoch — same data seeds/LR schedule the uninterrupted run
+    would have used) plus the best-so-far metrics and, when the checkpoint
+    sits in an experiment dir, the best genotypes reloaded from its
+    ``best/`` pickles."""
+    if not getattr(args, "resume", None):
+        return state, None
+    import os
+
+    from bmnas_tpu.genotype import load_genotype
+    from bmnas_tpu.utils import checkpoint as ckpt
+    state, extra = ckpt.restore_state(args.resume, state)
+    scheduler.load_state(extra["scheduler"])
+    info = {
+        "start_epoch": int(extra["epoch"]) + 1,
+        "best_metric": float(extra.get("best_metric", 0.0)),
+        "best_test_metric": float(extra.get("best_test_metric", 0.0)),
+        "best_genotype": None,
+        "best_test_genotype": None,
+    }
+    best_dir = os.path.join(os.path.dirname(os.path.abspath(args.resume)),
+                            "best")
+    for key, fname in (("best_genotype", "best_genotype.pkl"),
+                       ("best_test_genotype", "best_test_genotype.pkl")):
+        path = os.path.join(best_dir, fname)
+        if os.path.exists(path):
+            info[key] = load_genotype(path)
+    logger.info("Resumed from %s; continuing at epoch %s", args.resume,
+                info["start_epoch"])
+    return state, info
 
 
 def run_test_only(fns, state, loader, snapshot_path):

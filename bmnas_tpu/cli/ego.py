@@ -214,14 +214,14 @@ def run_search(args, logger):
             st.arch, args.steps, args.multiplier, args.num_input_nodes,
             args.node_steps, args.node_multiplier)
 
-    state = apply_resume(state, scheduler, args, logger)
+    state, resume_info = apply_resume(state, scheduler, args, logger)
 
     best_acc, best_genotype, state = train_loop.run_training(
         task="ego", status="search", fns=fns, state=state,
         scheduler=scheduler, loaders=loaders, dataset_sizes=dataset_sizes,
         num_epochs=args.epochs, metric="acc", f1_type="weighted",
         args=args, logger=logger, plotter=Plotter(args),
-        genotype_fn=genotype_fn)
+        genotype_fn=genotype_fn, resume_info=resume_info)
     return best_acc, best_genotype
 
 
@@ -260,14 +260,14 @@ def run_found(args, logger, genotype, test_model_path=None):
         logger.info('test Loss: {:.4f} Acc: {:.4f}'.format(loss, acc))
         return acc
 
-    state = apply_resume(state, scheduler, args, logger)
+    state, resume_info = apply_resume(state, scheduler, args, logger)
 
     best_acc, _, state = train_loop.run_training(
         task="ego", status="eval", fns=fns, state=state,
         scheduler=scheduler, loaders=loaders, dataset_sizes=dataset_sizes,
         num_epochs=args.epochs, metric="acc", f1_type="weighted",
         args=args, logger=logger, plotter=Plotter(args),
-        genotype_fn=lambda st: genotype)
+        genotype_fn=lambda st: genotype, resume_info=resume_info)
     return best_acc
 
 

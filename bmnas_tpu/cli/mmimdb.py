@@ -220,7 +220,7 @@ def run_search(args, logger):
             st.arch, args.steps, args.multiplier, args.num_input_nodes,
             args.node_steps, args.node_multiplier)
 
-    state = apply_resume(state, scheduler, args, logger)
+    state, resume_info = apply_resume(state, scheduler, args, logger)
 
     device_cache = gather_fns = None
     if getattr(args, "device_data_cache", False):
@@ -236,7 +236,7 @@ def run_search(args, logger):
         num_epochs=args.epochs, metric="f1", f1_type=args.f1_type,
         args=args, logger=logger, plotter=Plotter(args),
         genotype_fn=genotype_fn, device_cache=device_cache,
-        gather_fns=gather_fns)
+        gather_fns=gather_fns, resume_info=resume_info)
     return best_f1, best_genotype
 
 
@@ -275,7 +275,7 @@ def run_found(args, logger, genotype, test_model_path=None):
             loss, args.f1_type, f1))
         return f1
 
-    state = apply_resume(state, scheduler, args, logger)
+    state, resume_info = apply_resume(state, scheduler, args, logger)
 
     device_cache = gather_fns = None
     if getattr(args, "device_data_cache", False):
@@ -292,7 +292,7 @@ def run_found(args, logger, genotype, test_model_path=None):
         num_epochs=args.epochs, metric="f1", f1_type=args.f1_type,
         args=args, logger=logger, plotter=Plotter(args),
         genotype_fn=lambda st: genotype, device_cache=device_cache,
-        gather_fns=gather_fns)
+        gather_fns=gather_fns, resume_info=resume_info)
     return best_f1
 
 

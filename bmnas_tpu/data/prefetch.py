@@ -51,10 +51,20 @@ def device_prefetch(iterator: Iterator[Any], size: int = 2,
         return False
 
     def worker():
+        import gc
         try:
-            for batch in iterator:
+            for n, batch in enumerate(iterator):
                 if not _put_q(_put(batch)):
                     return
+                # The TPU-relay client leaves its host-side transfer buffers
+                # in reference CYCLES; CPython's generational GC never fires
+                # because the allocation pressure sits in untracked C
+                # buffers, so a streaming run leaks the full fp32 footprint
+                # of every batch ever sent (measured: 130 GB anon RSS ->
+                # OOM kill after 4 NTU epochs). A periodic collect fully
+                # reclaims them (measured: 0.0-0.2 MB/batch residual).
+                if (n + 1) % 8 == 0:
+                    gc.collect()
         except Exception as e:  # surface loader errors on the consumer side
             err_holder.append(e)
         finally:

@@ -78,6 +78,7 @@ def run_training(
     device_cache=None,                 # {'caches': {phase: pytree},
                                        #  'indices': fn(phase, epoch) -> (n,B)}
     gather_fns: StepFunctions = None,  # build_gather_step_functions(fns)
+    resume_info: Optional[Dict] = None,  # from cli.common.apply_resume
 ):
     """Returns (best_metric, best_genotype, state). In search mode the best
     is tracked on dev; in eval mode on test (train_searchable/mmimdb.py:202-205)."""
@@ -86,6 +87,13 @@ def run_training(
 
     best_metric, best_genotype, best_epoch = 0.0, None, 0
     best_test_metric, best_test_genotype, best_test_epoch = 0.0, None, 0
+    start_epoch = 0
+    if resume_info:
+        start_epoch = resume_info.get("start_epoch", 0)
+        best_metric = resume_info.get("best_metric", 0.0)
+        best_test_metric = resume_info.get("best_test_metric", 0.0)
+        best_genotype = resume_info.get("best_genotype")
+        best_test_genotype = resume_info.get("best_test_genotype")
 
     # Multi-process runs: every worker computes identical state (replicated
     # deterministic updates), so only process 0 writes best/checkpoint/
@@ -107,7 +115,7 @@ def run_training(
     failsafe = True
     cont_overloop = 0
     while failsafe:
-        for epoch in range(num_epochs):
+        for epoch in range(start_epoch, num_epochs):
             logger.info("Epoch: {}".format(epoch))
             logger.info("EXP: {}".format(args.save))
             if profile_dir and epoch == 0 and not profiling:

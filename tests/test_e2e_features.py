@@ -19,6 +19,10 @@ def data_root(tmp_path_factory):
 
 
 def test_resume_continues_search(data_root, tmp_path):
+    """--resume continues AFTER the checkpointed epoch: a 1-epoch run
+    resumed with --epochs 2 trains exactly epoch 1 (not epochs 0-1 again),
+    and resuming an already-finished run trains nothing but still returns
+    the best metric + genotype restored from the checkpointed experiment."""
     from bmnas_tpu.cli.mmimdb import main_search
     cwd = os.getcwd()
     os.chdir(tmp_path)
@@ -29,12 +33,23 @@ def test_resume_continues_search(data_root, tmp_path):
         assert os.path.exists(ckpt)
 
         best_f1, best_genotype = main_search(
-            ["--datadir", data_root, "--resume", os.path.abspath(ckpt)] + TINY)
+            ["--datadir", data_root, "--resume", os.path.abspath(ckpt),
+             "--small_dataset", "--batchsize", "4", "--epochs", "2",
+             "--C", "8", "--L", "4", "--num_workers", "2", "--seed", "11"])
         exp2 = sorted(glob.glob("final_exp/mmimdb/search-*"))[-1]
         log = open(os.path.join(exp2, "log.txt")).read()
-        assert "Resumed from" in log
+        assert "continuing at epoch 1" in log
+        assert "Epoch: 1" in log and "Epoch: 0" not in log
         assert np.isfinite(best_f1)
         assert best_genotype is not None
+
+        # resuming a finished run: no epochs trained, best restored
+        best_f1b, best_genotypeb = main_search(
+            ["--datadir", data_root, "--resume", os.path.abspath(ckpt)] + TINY)
+        exp3 = sorted(glob.glob("final_exp/mmimdb/search-*"))[-1]
+        log3 = open(os.path.join(exp3, "log.txt")).read()
+        assert "Epoch: 0" not in log3
+        assert best_genotypeb is not None
     finally:
         os.chdir(cwd)
 

@@ -208,15 +208,23 @@ class _CompatUnpickler(pickle.Unpickler):
 
 
 def _ref_shim_classes():
-    """Install (once) a stub ``models.search.darts.genotypes`` module so that
-    plain pickling emits the reference class path. Returns the stub classes.
+    """Make a stub ``models.search.darts.genotypes`` module available so that
+    plain pickling emits the reference class path. Returns
+    ``(Genotype, StepGenotype, installed)`` where ``installed`` lists the
+    module names this call added to ``sys.modules`` — the caller MUST remove
+    them once the pickle stream is written. A *persistent* stub ``models``
+    package (empty ``__path__``) would shadow the real reference package for
+    any later ``import models.search...`` in the same process and break it
+    with ModuleNotFoundError.
 
-    The stub is only created if no real module occupies that path; if one
-    exists (e.g. tests emulating the reference), its classes are used.
+    If a real module already occupies the path (e.g. tests emulating the
+    reference, or the reference itself on sys.path), its classes are used
+    and nothing is installed.
     """
     import sys
     import types
 
+    installed = []
     mod = sys.modules.get(_REF_MODULE)
     if mod is None or not hasattr(mod, "Genotype"):
         parts = _REF_MODULE.split(".")
@@ -226,6 +234,7 @@ def _ref_shim_classes():
                 pkg = types.ModuleType(name)
                 pkg.__path__ = []  # mark as package
                 sys.modules[name] = pkg
+                installed.append(name)
         mod = types.ModuleType(_REF_MODULE)
         RefG = namedtuple("Genotype", "edges steps concat")
         RefS = namedtuple("StepGenotype", "inner_edges inner_steps inner_concat")
@@ -234,11 +243,11 @@ def _ref_shim_classes():
         mod.Genotype = RefG
         mod.StepGenotype = RefS
         sys.modules[_REF_MODULE] = mod
-    return mod.Genotype, mod.StepGenotype
+        installed.append(_REF_MODULE)
+    return mod.Genotype, mod.StepGenotype, installed
 
 
-def _to_ref(genotype: Genotype):
-    RefG, RefS = _ref_shim_classes()
+def _to_ref(genotype: Genotype, RefG, RefS):
     steps = [
         RefS(inner_edges=list(s.inner_edges), inner_steps=list(s.inner_steps),
              inner_concat=list(s.inner_concat))
@@ -249,9 +258,20 @@ def _to_ref(genotype: Genotype):
 
 
 def save_genotype(genotype: Genotype, path: str) -> None:
-    """Pickle a genotype (reference-compatible stream, darts/utils.py:96-99)."""
-    with open(path, "wb") as f:
-        pickle.dump(_to_ref(genotype), f, protocol=2)
+    """Pickle a genotype (reference-compatible stream, darts/utils.py:96-99).
+
+    The reference-path module shim is transient: installed around the dump
+    (pickle's save_global imports the class's module to verify it), removed
+    right after so the real ``models`` package stays importable."""
+    import sys
+
+    RefG, RefS, installed = _ref_shim_classes()
+    try:
+        with open(path, "wb") as f:
+            pickle.dump(_to_ref(genotype, RefG, RefS), f, protocol=2)
+    finally:
+        for name in installed:
+            sys.modules.pop(name, None)
 
 
 def load_genotype(path: str) -> Genotype:

@@ -45,6 +45,25 @@ def _accumulate(total, counts):
     return jax.tree_util.tree_map(lambda a, b: a + b, total, counts)
 
 
+def _release_host_memory():
+    """Collect the TPU-relay client's buffer cycles and return freed arenas
+    to the OS. Generational GC never triggers on its own here (allocation
+    pressure sits in untracked C buffers), and glibc retains freed arenas —
+    a streaming video run otherwise leaks the footprint of every batch ever
+    sent (measured 130 GB anon RSS -> OOM kill). Called every
+    _GC_EVERY_BATCHES steps from the epoch loop; costs ~ms."""
+    import ctypes
+    import gc
+    gc.collect()
+    try:
+        ctypes.CDLL("libc.so.6").malloc_trim(0)
+    except Exception:
+        pass
+
+
+_GC_EVERY_BATCHES = 8
+
+
 def _finalize_metric(counts: Dict[str, np.ndarray], metric: str,
                      f1_type: str, dataset_size: int):
     host = {k: np.asarray(v) for k, v in counts.items()}
@@ -215,8 +234,9 @@ def run_training(
                         else:
                             counts = fns.eval_step_many(state, stacked)
                         counts_total = _accumulate(counts_total, counts)
+                        _release_host_memory()
                 else:
-                    for batch in loaders[phase](epoch):
+                    for bi, batch in enumerate(loaders[phase](epoch)):
                         if unrolled:
                             try:
                                 tb = next(train_iter)
@@ -234,7 +254,10 @@ def run_training(
                         else:
                             counts = fns.eval_step(state, batch)
                         counts_total = _accumulate(counts_total, counts)
+                        if (bi + 1) % _GC_EVERY_BATCHES == 0:
+                            _release_host_memory()
 
+                _release_host_memory()
                 epoch_loss, epoch_metric = _finalize_metric(
                     counts_total, metric, f1_type, dataset_sizes[phase])
 

@@ -251,3 +251,24 @@ class TestReferenceFixtureRoundTrip:
                       num_keep_edges=2, node_steps=1, node_multiplier=1)
         import os
         assert os.path.exists(base + ".pdf") or os.path.exists(base + ".dot")
+
+
+def test_save_does_not_shadow_reference_package(tmp_path):
+    """save_genotype's reference-path pickle shim must not leave a stub
+    'models' package in sys.modules: a persistent empty-__path__ stub would
+    make any later `import models.search...` of the real reference fail with
+    ModuleNotFoundError (regression: broke test_full_model_parity when run
+    after any test that saved a genotype)."""
+    import sys
+
+    from bmnas_tpu.genotype import Genotype, StepGenotype, save_genotype
+
+    preexisting = "models" in sys.modules
+    g = Genotype(edges=[("skip", 0)],
+                 steps=[StepGenotype(inner_edges=[("skip", 0)],
+                                     inner_steps=["Sum"], inner_concat=[2])],
+                 concat=[2])
+    save_genotype(g, str(tmp_path / "g.pkl"))
+    if not preexisting:
+        assert "models" not in sys.modules
+        assert "models.search.darts.genotypes" not in sys.modules

@@ -145,6 +145,99 @@ def model_kwargs_from_args(args) -> dict:
 # Shared trainer plumbing (used by all three task CLIs).
 # ---------------------------------------------------------------------------
 
+def build_device_cache(args, datasets, batchsize, logger, phases,
+                       parallel_ctx=None, *, host_transform=None,
+                       cacheable=None, budget_gb=None,
+                       shuffles=lambda phase: True):
+    """--device_data_cache core: per-split device-resident arrays + the exact
+    index order the streaming loader would have used (bit-identical batches,
+    gathered on device by ``build_gather_step_functions``).
+
+    Task CLIs wrap this with their policies:
+      host_transform(key, arr) -> arr  — optional per-key cast before upload
+        (mmimdb caches images in the backbone compute dtype);
+      cacheable(phase, ds) -> str | None — non-None skips the split with the
+        returned reason logged (NTU/Ego keep augmented train splits
+        streaming: their random temporal crops re-randomize every epoch);
+      budget_gb — skip any split whose estimated host footprint exceeds this
+        (full-scale NTU test split ~26 GB can never fit 16 GB HBM).
+
+    Under --parallel each kept split is row-sharded over the data mesh
+    (``NamedSharding(mesh, P('data'))``); splits are zero-padded to a
+    device-count multiple (padded rows are never indexed — gather indices
+    stay < len(dataset)). Returns None when no split qualifies.
+    """
+    import jax
+    import numpy as np
+
+    caches = {}
+    for phase in phases:
+        ds = datasets[phase]
+        if cacheable is not None:
+            reason = cacheable(phase, ds)
+            if reason:
+                if logger is not None:
+                    logger.info("device cache [%s]: skipped (%s)",
+                                phase, reason)
+                continue
+        if budget_gb is not None:
+            probe = ds.load_sample(0, 0)
+            per = sum(np.asarray(v).nbytes for v in probe.values()) + 4
+            est_gb = per * len(ds) / 2**30
+            if est_gb > budget_gb:
+                if logger is not None:
+                    logger.info(
+                        "device cache [%s]: skipped (~%.1f GB estimated > "
+                        "--device_cache_budget_gb %.1f) - split streams",
+                        phase, est_gb, budget_gb)
+                continue
+        cols = None
+        for b in ds.batches(256, shuffle=False, pad_to_full=False):
+            n = int(b["mask"].sum())
+            if cols is None:
+                cols = {k: [] for k in b if k != "mask"}
+            for k in cols:
+                arr = b[k][:n]
+                if host_transform is not None:
+                    arr = host_transform(k, arr)
+                cols[k].append(arr)
+        host = {k: np.concatenate(v) for k, v in cols.items()}
+        if parallel_ctx is not None:
+            nd = parallel_ctx.num_devices
+            n_rows = host[next(iter(host))].shape[0]
+            n_pad = (-n_rows) % nd
+            if n_pad:
+                host = {k: np.concatenate(
+                    [v, np.zeros((n_pad,) + v.shape[1:], v.dtype)])
+                    for k, v in host.items()}
+            caches[phase] = parallel_ctx.shard_batch(host)
+        else:
+            caches[phase] = {k: jax.device_put(v) for k, v in host.items()}
+        if logger is not None:
+            nbytes = sum(int(np.prod(v.shape)) * v.dtype.itemsize
+                         for v in caches[phase].values())
+            logger.info("device cache [%s]: %d samples, %.2f GB HBM",
+                        phase, len(ds), nbytes / 2**30)
+    if not caches:
+        return None
+
+    def indices(phase, epoch):
+        # mirror the streaming loader: same seed stream, same order
+        # (``shuffles``: ego evaluates dev/test unshuffled), final batch
+        # padded (index -1 -> zero row + mask 0 in the gather)
+        n = len(datasets[phase])
+        order = np.arange(n)
+        seed = (args.seed * 1000003 + epoch * 131 + _stage_seed(phase))
+        if shuffles(phase):
+            np.random.RandomState(seed % (2**32)).shuffle(order)
+        n_b = -(-n // batchsize)
+        padded = np.full(n_b * batchsize, -1, np.int32)
+        padded[:n] = order
+        return padded.reshape(n_b, batchsize)
+
+    return {"caches": caches, "indices": indices}
+
+
 def fail_fast_checks(args):
     """Validate host-side arguments before any (minutes-long) device
     compilation starts. Found via verification probing: a typo'd --resume

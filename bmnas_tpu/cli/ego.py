@@ -101,6 +101,16 @@ def _add_ego_flags(parser, *, search: bool):
     parser.add_argument('--bf16_backbone', action='store_true', default=False,
                         help='run the frozen 3D conv backbones in bfloat16 '
                              '(MXU-native; fusion path stays fp32)')
+    parser.add_argument('--device_data_cache', action='store_true',
+                        default=False,
+                        help='keep the deterministic splits (dev/test: '
+                             'center crops only) resident in HBM and gather '
+                             'batches on device; the train split always '
+                             'streams (random multiscale crop re-randomizes '
+                             'every epoch), as does any split over '
+                             '--device_cache_budget_gb')
+    parser.add_argument('--device_cache_budget_gb', type=float, default=10.0,
+                        help='per-split HBM budget for --device_data_cache')
     from bmnas_tpu.cli.common import add_data_backend_flags
     add_data_backend_flags(parser)
     if not search:
@@ -185,6 +195,23 @@ def _maybe_load_backbones(state, args, logger):
 
 
 
+def _build_device_cache(args, datasets, batchsize, logger, phases,
+                        parallel_ctx=None):
+    """--device_data_cache for Ego: dev/test splits (deterministic
+    center-crop pipeline) live in HBM; the randomly-augmented train split and
+    anything over --device_cache_budget_gb keep streaming. Ego evaluates
+    dev/test UNSHUFFLED (cli loaders pass shuffle only for train), and the
+    gather indices mirror that."""
+    from bmnas_tpu.cli.common import build_device_cache
+    return build_device_cache(
+        args, datasets, batchsize, logger, phases, parallel_ctx,
+        cacheable=lambda phase, ds: (
+            "random multiscale augmentation re-randomizes every epoch"
+            if ds.train_transform else None),
+        budget_gb=args.device_cache_budget_gb,
+        shuffles=lambda phase: phase == "train")
+
+
 def run_search(args, logger):
     parallel_ctx = maybe_parallel(args)
     stages = {"train": "training", "dev": "validation", "test": "testing"}
@@ -216,12 +243,22 @@ def run_search(args, logger):
 
     state, resume_info = apply_resume(state, scheduler, args, logger)
 
+    device_cache = gather_fns = None
+    if getattr(args, "device_data_cache", False):
+        from bmnas_tpu.search.bilevel import build_gather_step_functions
+        device_cache = _build_device_cache(args, datasets, batchsize, logger,
+                                           ("train", "dev"), parallel_ctx)
+        if device_cache is not None:
+            gather_fns = build_gather_step_functions(
+                fns, parallel_ctx.batch_sharding if parallel_ctx else None)
+
     best_acc, best_genotype, state = train_loop.run_training(
         task="ego", status="search", fns=fns, state=state,
         scheduler=scheduler, loaders=loaders, dataset_sizes=dataset_sizes,
         num_epochs=args.epochs, metric="acc", f1_type="weighted",
         args=args, logger=logger, plotter=Plotter(args),
-        genotype_fn=genotype_fn, resume_info=resume_info)
+        genotype_fn=genotype_fn, device_cache=device_cache,
+        gather_fns=gather_fns, resume_info=resume_info)
     return best_acc, best_genotype
 
 
@@ -262,12 +299,22 @@ def run_found(args, logger, genotype, test_model_path=None):
 
     state, resume_info = apply_resume(state, scheduler, args, logger)
 
+    device_cache = gather_fns = None
+    if getattr(args, "device_data_cache", False):
+        from bmnas_tpu.search.bilevel import build_gather_step_functions
+        device_cache = _build_device_cache(args, datasets, batchsize, logger,
+                                           ("train", "test"), parallel_ctx)
+        if device_cache is not None:
+            gather_fns = build_gather_step_functions(
+                fns, parallel_ctx.batch_sharding if parallel_ctx else None)
+
     best_acc, _, state = train_loop.run_training(
         task="ego", status="eval", fns=fns, state=state,
         scheduler=scheduler, loaders=loaders, dataset_sizes=dataset_sizes,
         num_epochs=args.epochs, metric="acc", f1_type="weighted",
         args=args, logger=logger, plotter=Plotter(args),
-        genotype_fn=lambda st: genotype, resume_info=resume_info)
+        genotype_fn=lambda st: genotype, device_cache=device_cache,
+        gather_fns=gather_fns, resume_info=resume_info)
     return best_acc
 
 

@@ -140,56 +140,15 @@ def _build_device_cache(args, datasets, batchsize, logger, phases,
     (``NamedSharding(mesh, P('data'))``) so each chip holds 1/P of the split;
     splits are zero-padded to a device-count multiple (padded rows are never
     indexed — the gather indices stay < len(dataset))."""
-    import jax
-
     import ml_dtypes
+
+    from bmnas_tpu.cli.common import build_device_cache
 
     img_dtype = (ml_dtypes.bfloat16 if getattr(args, "bf16_backbone", False)
                  else np.float32)
-    caches = {}
-    for phase in phases:
-        ds = datasets[phase]
-        imgs, txts, labs = [], [], []
-        for b in ds.batches(256, shuffle=False, pad_to_full=False):
-            n = int(b["mask"].sum())
-            imgs.append(b["image"][:n].astype(img_dtype))
-            txts.append(b["text"][:n])
-            labs.append(b["label"][:n])
-        host = {
-            "image": np.concatenate(imgs),
-            "text": np.concatenate(txts),
-            "label": np.concatenate(labs),
-        }
-        if parallel_ctx is not None:
-            nd = parallel_ctx.num_devices
-            n_rows = host["image"].shape[0]
-            n_pad = (-n_rows) % nd
-            if n_pad:
-                host = {k: np.concatenate(
-                    [v, np.zeros((n_pad,) + v.shape[1:], v.dtype)])
-                    for k, v in host.items()}
-            caches[phase] = parallel_ctx.shard_batch(host)
-        else:
-            caches[phase] = {k: jax.device_put(v) for k, v in host.items()}
-        if logger is not None:
-            nbytes = sum(int(np.prod(v.shape)) * v.dtype.itemsize
-                         for v in caches[phase].values())
-            logger.info("device cache [%s]: %d samples, %.2f GB HBM",
-                        phase, len(ds), nbytes / 2**30)
-
-    def indices(phase, epoch):
-        # mirror the streaming loader: same seed stream, same order, final
-        # batch padded (index -1 -> zero row + mask 0 in the gather)
-        n = len(datasets[phase])
-        order = np.arange(n)
-        seed = (args.seed * 1000003 + epoch * 131 + _stage_seed(phase))
-        np.random.RandomState(seed % (2**32)).shuffle(order)
-        n_b = -(-n // batchsize)
-        padded = np.full(n_b * batchsize, -1, np.int32)
-        padded[:n] = order
-        return padded.reshape(n_b, batchsize)
-
-    return {"caches": caches, "indices": indices}
+    return build_device_cache(
+        args, datasets, batchsize, logger, phases, parallel_ctx,
+        host_transform=lambda k, a: a.astype(img_dtype) if k == "image" else a)
 
 
 def run_search(args, logger):

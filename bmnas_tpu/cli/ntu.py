@@ -114,6 +114,19 @@ def _add_ntu_flags(parser, *, search: bool):
                         help='rematerialize backbone activations in the '
                              'backward pass (jax.checkpoint) - for found-'
                              'phase training at large batch on one chip')
+    parser.add_argument('--device_data_cache', action='store_true',
+                        default=False,
+                        help='keep the deterministic splits (dev during '
+                             'search, test during found retraining) resident '
+                             'in HBM as raw uint8 pixels and gather batches '
+                             'on device - removes their host->device '
+                             'streaming entirely (the dominant cost through '
+                             'a bandwidth-limited link). The augmented train '
+                             'split always streams (its random temporal crop '
+                             're-randomizes every epoch); splits over '
+                             '--device_cache_budget_gb stream too')
+    parser.add_argument('--device_cache_budget_gb', type=float, default=10.0,
+                        help='per-split HBM budget for --device_data_cache')
     from bmnas_tpu.cli.common import add_data_backend_flags
     add_data_backend_flags(parser)
     if not search:
@@ -177,6 +190,25 @@ def _setup_data(args, parallel_ctx, stages):
         return make
 
     return datasets, dataset_sizes, {p: loader(p) for p in stages}, batchsize
+
+
+def _build_device_cache(args, datasets, batchsize, logger, phases,
+                        parallel_ctx=None):
+    """--device_data_cache for NTU: the deterministic splits (dev / test —
+    their host pipeline is pure frame selection + interpolation, no random
+    augmentation) live in HBM as raw uint8 pixels; batches are gathered on
+    device and normalized there, so their per-epoch host->device traffic is
+    zero. The train split streams (aug_crop re-randomizes every epoch), and
+    anything over --device_cache_budget_gb streams too (the full-scale NTU
+    test split ~26 GB can never fit). Reference workload being scaled:
+    main_darts_searchable_ntu.py:38-59."""
+    from bmnas_tpu.cli.common import build_device_cache
+    return build_device_cache(
+        args, datasets, batchsize, logger, phases, parallel_ctx,
+        cacheable=lambda phase, ds: (
+            "random temporal augmentation re-randomizes every epoch"
+            if ds.train_transform else None),
+        budget_gb=args.device_cache_budget_gb)
 
 
 def _maybe_load_backbones(state, args, logger):
@@ -254,12 +286,22 @@ def run_search(args, logger):
 
     state, resume_info = apply_resume(state, scheduler, args, logger)
 
+    device_cache = gather_fns = None
+    if getattr(args, "device_data_cache", False):
+        from bmnas_tpu.search.bilevel import build_gather_step_functions
+        device_cache = _build_device_cache(args, datasets, batchsize, logger,
+                                           ("train", "dev"), parallel_ctx)
+        if device_cache is not None:
+            gather_fns = build_gather_step_functions(
+                fns, parallel_ctx.batch_sharding if parallel_ctx else None)
+
     best_acc, best_genotype, state = train_loop.run_training(
         task="ntu", status="search", fns=fns, state=state,
         scheduler=scheduler, loaders=loaders, dataset_sizes=dataset_sizes,
         num_epochs=args.epochs, metric="acc", f1_type="weighted",
         args=args, logger=logger, plotter=Plotter(args),
-        genotype_fn=genotype_fn, resume_info=resume_info)
+        genotype_fn=genotype_fn, device_cache=device_cache,
+        gather_fns=gather_fns, resume_info=resume_info)
     return best_acc, best_genotype
 
 
@@ -307,12 +349,22 @@ def run_found(args, logger, genotype, test_model_path=None):
 
     state, resume_info = apply_resume(state, scheduler, args, logger)
 
+    device_cache = gather_fns = None
+    if getattr(args, "device_data_cache", False):
+        from bmnas_tpu.search.bilevel import build_gather_step_functions
+        device_cache = _build_device_cache(args, datasets, batchsize, logger,
+                                           ("train", "test"), parallel_ctx)
+        if device_cache is not None:
+            gather_fns = build_gather_step_functions(
+                fns, parallel_ctx.batch_sharding if parallel_ctx else None)
+
     best_acc, _, state = train_loop.run_training(
         task="ntu", status="eval", fns=fns, state=state,
         scheduler=scheduler, loaders=loaders, dataset_sizes=dataset_sizes,
         num_epochs=args.epochs, metric="acc", f1_type="weighted",
         args=args, logger=logger, plotter=Plotter(args),
-        genotype_fn=lambda st: genotype, resume_info=resume_info)
+        genotype_fn=lambda st: genotype, device_cache=device_cache,
+        gather_fns=gather_fns, resume_info=resume_info)
     return best_acc
 
 

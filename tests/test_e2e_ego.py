@@ -43,3 +43,32 @@ def test_search_found_round_trip(data, tmp_path):
         assert np.isfinite(acc)
     finally:
         os.chdir(cwd)
+
+
+def test_device_data_cache_search_identical_results(data, tmp_path):
+    """Ego --device_data_cache: the dev split (deterministic center-crop
+    pipeline, evaluated UNSHUFFLED) is gathered from HBM; must reproduce the
+    streaming run's genotype and dev accuracy exactly."""
+    from bmnas_tpu.cli.ego import main_search
+    root, ann = data
+    cwd = os.getcwd()
+    results = []
+    for sub, extra in (("a", []),
+                       ("b", ["--device_data_cache",
+                              "--steps_per_dispatch", "2"])):
+        d = tmp_path / sub
+        d.mkdir()
+        os.chdir(d)
+        try:
+            results.append(main_search(
+                ["--datadir", root, "--checkpointdir", os.path.dirname(ann),
+                 "--annotation", os.path.basename(ann)] + TINY + extra))
+        finally:
+            os.chdir(cwd)
+    (acc_a, gen_a), (acc_b, gen_b) = results
+    assert repr(gen_a) == repr(gen_b)
+    np.testing.assert_allclose(acc_a, acc_b, rtol=1e-6)
+    exp = glob.glob(str(tmp_path / "b" / "final_exp/ego/search-*"))[0]
+    log = open(os.path.join(exp, "log.txt")).read()
+    assert "device cache [dev]:" in log
+    assert "device cache [train]: skipped" in log

@@ -54,3 +54,33 @@ def test_search_found_round_trip(data_root, tmp_path):
         assert "composite fallback" not in log
     finally:
         os.chdir(cwd)
+
+
+def test_device_data_cache_search_identical_results(data_root, tmp_path):
+    """NTU --device_data_cache: the dev split (deterministic pipeline) lives
+    in HBM as raw uint8 and is gathered + normalized on device; the augmented
+    train split keeps streaming. Must reproduce the streaming run's genotype
+    and dev accuracy exactly (same shuffle order, padded-batch semantics,
+    PRNG stream)."""
+    from bmnas_tpu.cli.ntu import main_search
+    cwd = os.getcwd()
+    results = []
+    for sub, extra in (("a", []),
+                       ("b", ["--device_data_cache",
+                              "--steps_per_dispatch", "2"])):
+        d = tmp_path / sub
+        d.mkdir()
+        os.chdir(d)
+        try:
+            results.append(main_search(
+                ["--datadir", data_root, "--checkpointdir", str(d)]
+                + TINY + extra))
+        finally:
+            os.chdir(cwd)
+    (acc_a, gen_a), (acc_b, gen_b) = results
+    assert repr(gen_a) == repr(gen_b)
+    np.testing.assert_allclose(acc_a, acc_b, rtol=1e-6)
+    exp = glob.glob(str(tmp_path / "b" / "final_exp/ntu/search-*"))[0]
+    log = open(os.path.join(exp, "log.txt")).read()
+    assert "device cache [dev]:" in log            # dev cached
+    assert "device cache [train]: skipped" in log  # train streams (aug)

@@ -125,7 +125,8 @@ def measure(backbone_dtype):
         return multilabel_counts(preds, lab, mask)
 
     fns = build_step_functions(apply_fn, bce_with_logits, counts_fn,
-                               w_tx, arch_tx, donate=True)
+                               w_tx, arch_tx, donate=True,
+                               frozen_prefixes=MMIMDB_FROZEN_PREFIXES)
 
     eta = np.float32(1e-3)
     batches = [make_batch(i) for i in range(4)]
@@ -292,7 +293,8 @@ def measure_ego_search(batch=96, iters=60, warm=8):
         return {"correct": jnp.sum((preds == lab) * mask)}
 
     fns = build_step_functions(apply_fn, cross_entropy, counts_fn, w_tx,
-                               arch_tx, donate=True)
+                               arch_tx, donate=True,
+                               frozen_prefixes=EGO_FROZEN_PREFIXES)
     eta = np.float32(3e-3)
     batches = [mk(i) for i in range(2)]
     w_step, flops = aot_step(fns.weight_step, state, batches[0], eta)

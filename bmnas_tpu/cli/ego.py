@@ -232,7 +232,8 @@ def run_search(args, logger):
     if parallel_ctx is not None:
         state = parallel_ctx.replicate(state)
     fns = build_step_functions(make_apply(model), cross_entropy, counts_fn,
-                               w_tx, arch_tx)
+                               w_tx, arch_tx,
+                               frozen_prefixes=EGO_FROZEN_PREFIXES)
     scheduler = LRCosineAnnealingScheduler(args.eta_max, args.eta_min,
                                            args.Ti, args.Tm, nbpe)
 
@@ -285,7 +286,8 @@ def run_found(args, logger, genotype, test_model_path=None):
     if parallel_ctx is not None:
         state = parallel_ctx.replicate(state)
     fns = build_step_functions(make_apply(model), cross_entropy, counts_fn,
-                               w_tx, None)
+                               w_tx, None,
+                               frozen_prefixes=EGO_FROZEN_PREFIXES)
     scheduler = LRCosineAnnealingScheduler(args.eta_max, args.eta_min,
                                            args.Ti, args.Tm, nbpe)
 

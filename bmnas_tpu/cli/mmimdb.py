@@ -170,7 +170,8 @@ def run_search(args, logger):
         state = parallel_ctx.replicate(state)
 
     fns = build_step_functions(make_apply(model), bce_with_logits, counts_fn,
-                               w_tx, arch_tx)
+                               w_tx, arch_tx,
+                               frozen_prefixes=MMIMDB_FROZEN_PREFIXES)
     scheduler = LRCosineAnnealingScheduler(args.eta_max, args.eta_min,
                                            args.Ti, args.Tm, nbpe)
 

@@ -265,6 +265,7 @@ def run_search(args, logger):
     from bmnas_tpu.cli.common import backbone_dtype_from_args
     bdt = backbone_dtype_from_args(args)
     model = SearchableSkeletonImageNet(backbone_dtype=bdt,
+                                       remat=getattr(args, 'remat', False),
                                        **model_kwargs_from_args(args))
     arch = init_arch_params(jax.random.PRNGKey(args.seed + 1), args.steps,
                             args.num_input_nodes, args.node_steps)
@@ -275,7 +276,8 @@ def run_search(args, logger):
     if parallel_ctx is not None:
         state = parallel_ctx.replicate(state)
     fns = build_step_functions(make_apply(model), cross_entropy, counts_fn,
-                               w_tx, arch_tx)
+                               w_tx, arch_tx,
+                               frozen_prefixes=NTU_SEARCH_FROZEN_PREFIXES)
     scheduler = LRCosineAnnealingScheduler(args.eta_max, args.eta_min,
                                            args.Ti, args.Tm, nbpe)
 

@@ -138,12 +138,33 @@ def build_step_functions(
     w_tx: optax.GradientTransformation,
     arch_tx: Optional[optax.GradientTransformation],
     donate: bool = True,
+    frozen_prefixes: Tuple[str, ...] = (),
 ) -> StepFunctions:
     """Construct the three step functions.
 
     ``apply_fn(variables, batch, arch, train, rngs, mutable)`` must return
     ``logits`` (and the mutated variables dict when ``mutable`` is non-empty).
     ``counts_fn(logits, labels, mask)`` produces the on-device metric counts.
+
+    ``frozen_prefixes``: top-level param subtrees the weight optimizer
+    freezes (same names passed to ``make_param_labels``). When given, weight
+    steps differentiate ONLY the trainable subtrees — the frozen backbones
+    are closed over as constants, so XLA never builds their backward pass and
+    never keeps their forward activations alive for it. Numerically identical
+    to differentiating everything and masking the update (the frozen grads
+    were discarded by ``set_to_zero``) — equivalence-tested in
+    tests/test_bilevel.py::TestFrozenPartition — and it removes the backbone
+    backward FLOPs plus the backward's activation-memory term of a
+    search-phase step. (Not sufficient, on its own, to co-locate batch-96
+    NTU search with the 8.4 GB dev-split HBM cache on a 16 GB chip: the
+    backbone *forward* transients still peak too high — measured
+    RESOURCE_EXHAUSTED with and without remat. Use --device_cache_budget_gb
+    to keep oversized splits streaming.)
+
+    For the unrolled (second-order) arch step the partition is also a
+    semantic refinement: the virtual SGD step now moves only the params the
+    real weight optimizer trains, where the full-gradient version moved the
+    frozen backbones too — a trajectory real training can never take.
     """
 
     def _mask(batch):
@@ -164,19 +185,32 @@ def build_step_functions(
         )
         return logits, mutated["batch_stats"]
 
+    def _split_frozen(params):
+        trainable = {k: v for k, v in params.items()
+                     if k not in frozen_prefixes}
+        frozen = {k: v for k, v in params.items() if k in frozen_prefixes}
+        return trainable, frozen
+
     def weight_step(state: TrainState, batch: Batch, eta: jnp.ndarray):
         rng, step_rng = jax.random.split(state.rng)
         mask = _mask(batch)
+        trainable, frozen = _split_frozen(state.params)
 
-        def loss_fn(params):
+        def loss_fn(train_params):
             logits, new_bs = _forward_train(
-                params, state.batch_stats, state.arch, batch, step_rng
+                {**train_params, **frozen}, state.batch_stats, state.arch,
+                batch, step_rng
             )
             return criterion(logits, batch["label"], mask), (logits, new_bs)
 
-        (loss, (logits, new_bs)), grads = jax.value_and_grad(
+        (loss, (logits, new_bs)), g_train = jax.value_and_grad(
             loss_fn, has_aux=True
-        )(state.params)
+        )(trainable)
+        # zeros for frozen subtrees keep the optimizer's full pytree
+        # structure; their set_to_zero branch ignores them, so XLA removes
+        # the zero arrays entirely
+        grads = {**g_train,
+                 **jax.tree_util.tree_map(jnp.zeros_like, frozen)}
         updates, new_opt_w = w_tx.update(grads, state.opt_w, state.params)
         new_params = jax.tree_util.tree_map(
             lambda p, u: p - eta * u, state.params, updates
@@ -240,18 +274,25 @@ def build_step_functions(
         rng, k0, k1, k2 = jax.random.split(state.rng, 4)
         dev_mask = _mask(dev_batch)
         train_mask = _mask(train_batch)
+        trainable, frozen = _split_frozen(state.params)
 
         def arch_loss(arch):
-            def train_loss(params):
+            # virtual step moves ONLY the params the real weight optimizer
+            # trains — frozen backbones get zero updates in real steps, so
+            # the unrolled objective holds them fixed too (and their
+            # backward/Hessian-vector product is never built)
+            def train_loss(train_params):
                 logits, _ = _forward_train(
-                    params, state.batch_stats, arch, train_batch, k0)
+                    {**train_params, **frozen}, state.batch_stats, arch,
+                    train_batch, k0)
                 return criterion(logits, train_batch["label"], train_mask)
 
-            g_w = jax.grad(train_loss)(state.params)
+            g_w = jax.grad(train_loss)(trainable)
             w_virtual = jax.tree_util.tree_map(
-                lambda w, g: w - eta * g, state.params, g_w)
+                lambda w, g: w - eta * g, trainable, g_w)
             logits, new_bs = _forward_train(
-                w_virtual, state.batch_stats, arch, dev_batch, k1)
+                {**w_virtual, **frozen}, state.batch_stats, arch,
+                dev_batch, k1)
             return criterion(logits, dev_batch["label"], dev_mask), new_bs
 
         (_, bs_after_arch), arch_grads = jax.value_and_grad(

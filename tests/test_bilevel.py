@@ -255,6 +255,94 @@ class TestUnrolledDarts:
         assert max(jax.tree_util.tree_leaves(diffs)) > 0
 
 
+class TestFrozenPartition:
+    """``frozen_prefixes``: differentiating only the trainable subtrees (the
+    frozen backbones closed over as constants) must be numerically equivalent
+    to differentiating everything and letting the optimizer's set_to_zero
+    branch discard the frozen grads — the path every pre-partition test in
+    this file exercises."""
+
+    def _fns_pair(self, model, variables, arch):
+        labels = make_param_labels(variables["params"], MMIMDB_FROZEN_PREFIXES)
+        w_tx = make_weight_optimizer(labels, weight_decay=1e-4)
+        arch_tx = make_arch_optimizer(3e-4, 1e-3)
+        state = TrainState(
+            params=variables["params"],
+            batch_stats=variables["batch_stats"],
+            arch=arch,
+            opt_w=w_tx.init(variables["params"]),
+            opt_arch=arch_tx.init(arch),
+            rng=jax.random.PRNGKey(7),
+            step=jnp.asarray(0, jnp.int32),
+        )
+        apply_fn = make_apply(model)
+        full = build_step_functions(apply_fn, bce_with_logits, counts_fn,
+                                    w_tx, arch_tx, donate=False)
+        part = build_step_functions(apply_fn, bce_with_logits, counts_fn,
+                                    w_tx, arch_tx, donate=False,
+                                    frozen_prefixes=MMIMDB_FROZEN_PREFIXES)
+        return state, full, part
+
+    def _assert_tree_close(self, a, b):
+        jax.tree_util.tree_map(
+            lambda x, y: np.testing.assert_allclose(
+                np.asarray(x, np.float64), np.asarray(y, np.float64),
+                rtol=1e-6, atol=1e-7),
+            a, b)
+
+    def test_weight_step_matches_masked_full_gradient(self, setup):
+        model, variables, arch, batch = setup
+        state, full, part = self._fns_pair(model, variables, arch)
+        sa, ca = full.weight_step(state, batch, jnp.asarray(1e-3))
+        sb, cb = part.weight_step(state, batch, jnp.asarray(1e-3))
+        self._assert_tree_close(sa.params, sb.params)
+        self._assert_tree_close(sa.batch_stats, sb.batch_stats)
+        self._assert_tree_close(sa.opt_w, sb.opt_w)
+        np.testing.assert_allclose(float(ca["loss_sum"]),
+                                   float(cb["loss_sum"]), rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(sa.rng), np.asarray(sb.rng))
+
+    def test_unrolled_matches_masked_virtual_step_oracle(self, setup):
+        """The partitioned unrolled step holds frozen backbones fixed in the
+        virtual step — the real weight optimizer never moves them (set_to_zero),
+        so the unrolled objective must not either. Oracle: an independent
+        re-derivation where the full-gradient virtual step explicitly zeroes
+        the frozen subtrees' updates before differentiation."""
+        model, variables, arch, batch = setup
+        state, _, part = self._fns_pair(model, variables, arch)
+        dev = synthetic_batch(key=3)
+        eta = np.float32(1e-2)
+
+        apply_fn = make_apply(model)
+        _, k0, k1, _ = jax.random.split(state.rng, 4)
+        ones = jnp.ones((batch["label"].shape[0],), jnp.float32)
+
+        def fwd(params, arch_p, b, key):
+            logits, _ = apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                b, arch_p, True, {"dropout": key}, ["batch_stats"])
+            return bce_with_logits(logits, b["label"], ones)
+
+        def oracle_arch_loss(arch_p):
+            g_w = jax.grad(lambda p: fwd(p, arch_p, batch, k0))(state.params)
+            g_w = {k: (jax.tree_util.tree_map(jnp.zeros_like, v)
+                       if k in MMIMDB_FROZEN_PREFIXES else v)
+                   for k, v in g_w.items()}
+            w_virtual = jax.tree_util.tree_map(
+                lambda w, g: w - eta * g, state.params, g_w)
+            return fwd(w_virtual, arch_p, dev, k1)
+
+        oracle_grads = jax.grad(oracle_arch_loss)(state.arch)
+        sb, _ = part.arch_step_unrolled(state, dev, batch, eta)
+        # apply the same optimizer update the implementation applied
+        arch_tx = make_arch_optimizer(3e-4, 1e-3)
+        import optax
+        upd, _ = arch_tx.update(oracle_grads, arch_tx.init(state.arch),
+                                state.arch)
+        expected = optax.apply_updates(state.arch, upd)
+        self._assert_tree_close(expected, sb.arch)
+
+
 class TestStepsPerDispatch:
     """--steps_per_dispatch: scanned k-step dispatches == k sequential
     single-step calls (same state trajectory, PRNG stream, summed counts)."""

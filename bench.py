@@ -320,8 +320,14 @@ def recorded_ntu_search():
     try:
         with open(path) as f:
             rec = json.load(f)
-        return {"ntu_search_minutes": rec["wall_minutes"],
-                "ntu_search_note": rec.get("note", "")[:300]}
+        out = {"ntu_search_minutes": rec["wall_minutes"],
+               "ntu_search_note": rec.get("note", "")[:300]}
+        if rec.get("epochs"):
+            out["ntu_search_epochs"] = rec["epochs"]
+        if rec.get("steady_state_minutes_per_epoch"):
+            out["ntu_search_steady_minutes_per_epoch"] = (
+                rec["steady_state_minutes_per_epoch"])
+        return out
     except Exception:
         return {}
 

@@ -184,12 +184,17 @@ def build_device_cache(args, datasets, batchsize, logger, phases,
             probe = ds.load_sample(0, 0)
             per = sum(np.asarray(v).nbytes for v in probe.values()) + 4
             est_gb = per * len(ds) / 2**30
-            if est_gb > budget_gb:
+            # the cache is row-sharded over the data mesh: what must fit the
+            # budget is the PER-DEVICE footprint, 1/P of the split
+            ndev = parallel_ctx.num_devices if parallel_ctx is not None else 1
+            per_dev_gb = est_gb / ndev
+            if per_dev_gb > budget_gb:
                 if logger is not None:
                     logger.info(
-                        "device cache [%s]: skipped (~%.1f GB estimated > "
-                        "--device_cache_budget_gb %.1f) - split streams",
-                        phase, est_gb, budget_gb)
+                        "device cache [%s]: skipped (~%.1f GB / %d devices = "
+                        "%.1f GB per device > --device_cache_budget_gb %.1f)"
+                        " - split streams",
+                        phase, est_gb, ndev, per_dev_gb, budget_gb)
                 continue
         cols = None
         for b in ds.batches(256, shuffle=False, pad_to_full=False):
@@ -337,6 +342,8 @@ def apply_resume(state, scheduler, args, logger):
         "start_epoch": int(extra["epoch"]) + 1,
         "best_metric": float(extra.get("best_metric", 0.0)),
         "best_test_metric": float(extra.get("best_test_metric", 0.0)),
+        "best_epoch": int(extra.get("best_epoch", 0)),
+        "best_test_epoch": int(extra.get("best_test_epoch", 0)),
         "best_genotype": None,
         "best_test_genotype": None,
     }

@@ -203,12 +203,80 @@ def _build_device_cache(args, datasets, batchsize, logger, phases,
     test split ~26 GB can never fit). Reference workload being scaled:
     main_darts_searchable_ntu.py:38-59."""
     from bmnas_tpu.cli.common import build_device_cache
-    return build_device_cache(
+    cache = build_device_cache(
         args, datasets, batchsize, logger, phases, parallel_ctx,
         cacheable=lambda phase, ds: (
-            "random temporal augmentation re-randomizes every epoch"
+            "augmented split: cached as a frame POOL instead (see below)"
             if ds.train_transform else None),
         budget_gb=args.device_cache_budget_gb)
+    pool_info = _build_train_frame_pool(args, datasets, batchsize, logger,
+                                        parallel_ctx)
+    if pool_info is not None:
+        if cache is None:
+            cache = {"caches": {}, "indices": None}
+        cache.update(pool_info)
+    return cache
+
+
+def _build_train_frame_pool(args, datasets, batchsize, logger, parallel_ctx):
+    """--device_data_cache for the AUGMENTED train split: the random temporal
+    crop re-randomizes every epoch, but its video half is pure frame
+    selection (data/ntu.aug_crop_select), so the decoded frames live in HBM
+    once — (N, F_pool, H, W, 3), row-sharded over the data mesh — and each
+    epoch ships only per-sample frame-index arrays plus the small skeletons.
+    Kills the dominant H2D stream of a full-scale NTU search (4.5 GB/epoch
+    of uint8 video at reference scale, main_darts_searchable_ntu.py:38-59);
+    splits whose per-device pool exceeds --device_cache_budget_gb keep
+    streaming (the 17.9 GB full-scale pool needs the multi-chip mesh)."""
+    ds = datasets.get("train")
+    if ds is None or not ds.train_transform:
+        return None
+    try:
+        probe = ds.pool_frame_count()
+    except Exception as e:
+        logger.info("device frame pool [train]: skipped (%s)", e)
+        return None
+    if probe is None:
+        logger.info("device frame pool [train]: skipped (non-4D decode)")
+        return None
+    from bmnas_tpu.data.ntu import load_video
+    sample = load_video(ds.rgb_list[0])
+    itemsize = 4 if (sample.dtype != np.uint8 or ds.host_image_norm) else 1
+    est_gb = (int(np.prod(sample.shape)) * itemsize * len(ds)) / 2**30
+    ndev = parallel_ctx.num_devices if parallel_ctx is not None else 1
+    per_dev_gb = est_gb / ndev
+    if per_dev_gb > args.device_cache_budget_gb:
+        logger.info(
+            "device frame pool [train]: skipped (~%.1f GB / %d devices = "
+            "%.1f GB per device > --device_cache_budget_gb %.1f) - split "
+            "streams", est_gb, ndev, per_dev_gb,
+            args.device_cache_budget_gb)
+        return None
+    try:
+        pool_host = ds.build_frame_pool()
+    except ValueError as e:
+        logger.info("device frame pool [train]: skipped (%s)", e)
+        return None
+    if parallel_ctx is not None:
+        n_pad = (-pool_host.shape[0]) % ndev
+        if n_pad:
+            pool_host = np.concatenate(
+                [pool_host, np.zeros((n_pad,) + pool_host.shape[1:],
+                                     pool_host.dtype)])
+        pool_dev = parallel_ctx.shard_batch({"image": pool_host})["image"]
+    else:
+        pool_dev = jax.device_put(pool_host)
+    logger.info("device frame pool [train]: %d samples x %d frames, %.2f GB "
+                "HBM (%.2f GB per device)", len(ds), pool_host.shape[1],
+                pool_host.nbytes / 2**30, pool_host.nbytes / 2**30 / ndev)
+
+    def pool_batches(phase, epoch):
+        # identical order/seed stream to the streaming threads loader
+        seed = (args.seed * 1000003 + epoch * 131 + _stage_seed(phase))
+        return datasets[phase].pool_batches(batchsize, shuffle=True,
+                                            seed=seed)
+
+    return {"pools": {"train": pool_dev}, "pool_batches": pool_batches}
 
 
 def _maybe_load_backbones(state, args, logger):
@@ -296,6 +364,11 @@ def run_search(args, logger):
         if device_cache is not None:
             gather_fns = build_gather_step_functions(
                 fns, parallel_ctx.batch_sharding if parallel_ctx else None)
+            if "pools" in device_cache:
+                from bmnas_tpu.search.bilevel import build_pool_step_functions
+                device_cache["pool_fns"] = build_pool_step_functions(
+                    fns, "image",
+                    parallel_ctx.batch_sharding if parallel_ctx else None)
 
     best_acc, best_genotype, state = train_loop.run_training(
         task="ntu", status="search", fns=fns, state=state,
@@ -359,6 +432,11 @@ def run_found(args, logger, genotype, test_model_path=None):
         if device_cache is not None:
             gather_fns = build_gather_step_functions(
                 fns, parallel_ctx.batch_sharding if parallel_ctx else None)
+            if "pools" in device_cache:
+                from bmnas_tpu.search.bilevel import build_pool_step_functions
+                device_cache["pool_fns"] = build_pool_step_functions(
+                    fns, "image",
+                    parallel_ctx.batch_sharding if parallel_ctx else None)
 
     best_acc, _, state = train_loop.run_training(
         task="ntu", status="eval", fns=fns, state=state,

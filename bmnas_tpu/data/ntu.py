@@ -109,20 +109,36 @@ def _linear_interp_T(data: np.ndarray, out_len: int) -> np.ndarray:
             + data[:, hi] * w[None, :, None, None])
 
 
-def aug_crop(rgb: np.ndarray, ske: np.ndarray, rng: np.random.RandomState,
-             p_interval: float = 0.5) -> Tuple[np.ndarray, np.ndarray]:
-    """Random temporal crop (datasets/ntu.py:139-162)."""
+def aug_crop_select(n_rgb: int, ske: np.ndarray, rng: np.random.RandomState,
+                    p_interval: float = 0.5) -> Tuple[np.ndarray, np.ndarray]:
+    """``aug_crop`` with the video half expressed as pure FRAME SELECTION:
+    returns the indices (into the n_rgb decoded frames) the crop keeps,
+    instead of the cropped pixels. Identical rng draw order to aug_crop
+    (video ratio first, then the skeleton crop — datasets/ntu.py:139-162),
+    so a caller holding only a frame *pool* reproduces the streamed
+    augmentation bit for bit (--device_data_cache train pool)."""
     ratio = 1.0 - p_interval * rng.rand()
-    if rgb.ndim > 1:
-        n = len(rgb)
-        begin = (n - int(n * ratio)) // 2
-        rgb = rgb[begin:n - begin]
+    if n_rgb > 0:
+        begin = (n_rgb - int(n_rgb * ratio)) // 2
+        rgb_idx = np.arange(begin, n_rgb - begin)
+    else:
+        rgb_idx = np.arange(0)
     if ske.ndim > 1:
         valid = ske.shape[1]
         p = float(rng.rand(1)[0]) * (1.0 - p_interval) + p_interval
         cropped = int(np.minimum(np.maximum(int(np.floor(valid * p)), 64), valid))
         bias = rng.randint(0, valid - cropped + 1)
         ske = ske[:, bias:bias + cropped]
+    return rgb_idx, ske
+
+
+def aug_crop(rgb: np.ndarray, ske: np.ndarray, rng: np.random.RandomState,
+             p_interval: float = 0.5) -> Tuple[np.ndarray, np.ndarray]:
+    """Random temporal crop (datasets/ntu.py:139-162)."""
+    n_rgb = len(rgb) if rgb.ndim > 1 else 0
+    rgb_idx, ske = aug_crop_select(n_rgb, ske, rng, p_interval)
+    if rgb.ndim > 1:
+        rgb = rgb[rgb_idx]
     return rgb, ske
 
 
@@ -299,3 +315,96 @@ class NTUDataset:
 
     def num_batches(self, batch_size: int) -> int:
         return -(-len(self) // batch_size)
+
+    # -- device frame pool (--device_data_cache for the augmented train split)
+    #
+    # The train augmentation's video half is PURE FRAME SELECTION
+    # (aug_crop_select + the normalize_len linspace), so the decoded frames
+    # can live in HBM once and each epoch only ships per-sample frame-index
+    # arrays + the (small) skeletons. The host replays the exact rng stream
+    # of load_sample, so pooled batches are bit-identical to streamed ones.
+
+    def pool_frame_count(self):
+        """Frames per decoded sample, or None if the split cannot pool
+        (non-uniform decode shapes / mixed dtypes)."""
+        probe = load_video(self.rgb_list[0])
+        if probe.ndim != 4:
+            return None
+        return probe.shape[0]
+
+    def build_frame_pool(self) -> np.ndarray:
+        """Decode every video once -> (N, F, H, W, 3) pool array (uint8 for
+        device-normalized sources; float sources are host-normalized here,
+        exactly as load_sample would). Raises ValueError on non-uniform
+        shapes or mixed dtypes (caller falls back to streaming)."""
+        vids = list(self._pool.map(load_video, self.rgb_list))
+        shapes = {v.shape for v in vids}
+        dtypes = {v.dtype for v in vids}
+        if len(shapes) != 1 or len(dtypes) != 1:
+            raise ValueError(
+                f"non-uniform video decode (shapes {shapes}, dtypes {dtypes})"
+                " - split cannot pool")
+        pool = np.stack(vids)
+        if pool.dtype != np.uint8 or self.host_image_norm:
+            pool = pool.astype(np.float32) / 255.0
+            pool = ((pool - IMAGENET_MEAN.reshape(1, 1, 1, 1, 3))
+                    / IMAGENET_STD.reshape(1, 1, 1, 1, 3)).astype(np.float32)
+        return pool
+
+    def pool_sample(self, idx: int, seed: int) -> Dict[str, np.ndarray]:
+        """Host half of the pooled path: everything ``load_sample`` does
+        except touching pixels. Returns the skeleton/label plus the frame
+        indices (into the pooled decode) load_sample would have selected —
+        same RandomState stream, same draw order."""
+        rng = np.random.RandomState(seed % (2**32))
+        ske = self._parse_skeleton(self.ske_list[idx])
+        origin = ske[:, :, 1, 0]
+        ske = (ske - origin[:, :, None, None]).astype(np.float32)
+        n = getattr(self, "_pool_frames", None)
+        if n is None:
+            n = self._pool_frames = self.pool_frame_count()
+        if self.train_transform:
+            rgb_idx, ske = aug_crop_select(n, ske, rng)
+        else:
+            rgb_idx = np.arange(n)
+        sel = rgb_idx[np.linspace(0, len(rgb_idx) - 1,
+                                  self.vid_len[0]).astype(int)]
+        ske = _linear_interp_T(ske, self.vid_len[1])
+        ske = np.transpose(ske, (1, 2, 3, 0))
+        return {"skeleton": ske, "label": np.int32(self.labels[idx] - 1),
+                "frame_idx": sel.astype(np.int32)}
+
+    def pool_batches(self, batch_size: int, shuffle: bool, seed: int = 0,
+                     pad_to_full: bool = True) -> Iterator[Dict[str, np.ndarray]]:
+        """Pooled analog of ``batches``: identical order/seed stream, but
+        batches carry {skeleton, label, mask, sample_idx, frame_idx} — the
+        device gathers pixels from the resident pool
+        (bilevel.build_pool_step_functions)."""
+        self._pool_frames = self.pool_frame_count()
+        seed = seed % (2**32)
+        order = np.arange(len(self))
+        rs = np.random.RandomState(seed)
+        if shuffle:
+            rs.shuffle(order)
+        F = self.vid_len[0]
+        for start in range(0, len(self), batch_size):
+            idxs = order[start:start + batch_size]
+            seeds = [int(seed * 7919 + i) for i in idxs]
+            samples = list(self._pool.map(self.pool_sample, idxs, seeds))
+            n = len(samples)
+            b = batch_size if pad_to_full else n
+            out = {
+                "skeleton": np.zeros((b,) + samples[0]["skeleton"].shape,
+                                     np.float32),
+                "label": np.zeros((b,), np.int32),
+                "mask": np.zeros((b,), np.float32),
+                "sample_idx": np.full((b,), -1, np.int32),
+                "frame_idx": np.zeros((b, F), np.int32),
+            }
+            for i, s in enumerate(samples):
+                out["skeleton"][i] = s["skeleton"]
+                out["label"][i] = s["label"]
+                out["mask"][i] = 1.0
+                out["sample_idx"][i] = idxs[i]
+                out["frame_idx"][i] = s["frame_idx"]
+            yield out

@@ -464,3 +464,87 @@ def build_gather_step_functions(fns: StepFunctions,
                         if arch_inner is not None else None),
         eval_step_many=jax.jit(eval_step_many),
     )
+
+
+# ---------------------------------------------------------------------------
+# Device-resident FRAME POOL stepping (--device_data_cache, augmented train
+# splits whose video transform is pure frame selection — NTU).
+#
+# The deterministic splits above cache final (B, F, H, W, C) clips. The NTU
+# *train* split re-randomizes its temporal crop every epoch, but that crop
+# only SELECTS frames (data/ntu.aug_crop_select): so the decoded frames live
+# in HBM once — (N, F_pool, H, W, C), row-sharded over the data mesh under
+# --parallel — and each step ships only (B,) sample indices, (B, F_out)
+# frame indices and the small skeleton/label host fields. The device gathers
+# pool[sample_idx][frame_idx] and normalizes as usual (uint8 pools keep the
+# 4x-compressed pixels resident). Replaces the 4.5 GB/epoch uint8 video
+# stream of a full-scale NTU search (main_darts_searchable_ntu.py:38-59)
+# with ~220 MB/epoch of skeletons+indices.
+# ---------------------------------------------------------------------------
+
+def _gather_pool_batch(pool: jnp.ndarray, host: Batch, image_key: str) -> Batch:
+    sidx = host["sample_idx"]
+    fidx = host["frame_idx"]
+    mask = (sidx >= 0).astype(jnp.float32)
+    rows = jnp.take(pool, jnp.maximum(sidx, 0), axis=0)   # (B, F_pool, ...)
+    ext = fidx.reshape(fidx.shape + (1,) * (rows.ndim - 2))
+    frames = jnp.take_along_axis(rows, ext, axis=1)       # (B, F_out, ...)
+    m = mask.reshape((-1,) + (1,) * (frames.ndim - 1)).astype(frames.dtype)
+    batch = {k: v for k, v in host.items()
+             if k not in ("sample_idx", "frame_idx")}
+    batch[image_key] = frames * m
+    return batch
+
+
+def build_pool_step_functions(fns: StepFunctions, image_key: str = "image",
+                              batch_sharding=None) -> StepFunctions:
+    """Wrap the weight/eval steps to source pixels from a device frame pool.
+
+    Returned signatures (``host`` batches carry skeleton/label/mask plus
+    sample_idx (B,) and frame_idx (B, F_out) int32; padded rows sample_idx=-1):
+      weight_step(state, pool, host, eta)
+      weight_step_many(state, pool, hosts (k-stacked), etas (k,))
+      eval_step(state, pool, host) / eval_step_many(state, pool, hosts)
+
+    ``batch_sharding`` pins the gathered batch back to the data mesh under
+    --parallel (same contract as build_gather_step_functions)."""
+    weight_inner = fns.weight_step
+    eval_inner = fns.eval_step
+
+    def _take(pool, host):
+        batch = _gather_pool_batch(pool, host, image_key)
+        if batch_sharding is not None:
+            batch = jax.tree_util.tree_map(
+                lambda x: jax.lax.with_sharding_constraint(x, batch_sharding),
+                batch)
+        return batch
+
+    def weight_step(state, pool, host, eta):
+        return weight_inner(state, _take(pool, host), eta)
+
+    def weight_step_many(state, pool, hosts, etas):
+        def body(s, xs):
+            h, eta = xs
+            return weight_inner(s, _take(pool, h), eta)
+
+        state, counts = jax.lax.scan(body, state, (hosts, etas))
+        return state, jax.tree_util.tree_map(lambda x: x.sum(0), counts)
+
+    def eval_step(state, pool, host):
+        return eval_inner(state, _take(pool, host))
+
+    def eval_step_many(state, pool, hosts):
+        def body(carry, h):
+            return carry, eval_inner(state, _take(pool, h))
+
+        _, counts = jax.lax.scan(body, 0, hosts)
+        return jax.tree_util.tree_map(lambda x: x.sum(0), counts)
+
+    return StepFunctions(
+        weight_step=jax.jit(weight_step, donate_argnums=(0,)),
+        arch_step=None,
+        eval_step=jax.jit(eval_step),
+        weight_step_many=jax.jit(weight_step_many, donate_argnums=(0,)),
+        arch_step_many=None,
+        eval_step_many=jax.jit(eval_step_many),
+    )

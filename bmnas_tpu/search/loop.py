@@ -111,6 +111,8 @@ def run_training(
         start_epoch = resume_info.get("start_epoch", 0)
         best_metric = resume_info.get("best_metric", 0.0)
         best_test_metric = resume_info.get("best_test_metric", 0.0)
+        best_epoch = resume_info.get("best_epoch", 0)
+        best_test_epoch = resume_info.get("best_test_epoch", 0)
         best_genotype = resume_info.get("best_genotype")
         best_test_genotype = resume_info.get("best_test_genotype")
 
@@ -163,6 +165,10 @@ def run_training(
                 use_cache = (device_cache is not None and gather_fns is not None
                              and not unrolled
                              and phase in device_cache["caches"])
+                use_pool = (device_cache is not None and not unrolled
+                            and not arch_steps
+                            and phase in device_cache.get("pools", {})
+                            and device_cache.get("pool_fns") is not None)
                 if use_cache:
                     # --device_data_cache: dataset lives in HBM; steps gather
                     # their batches on device from tiny index arrays (zero
@@ -197,6 +203,46 @@ def run_training(
                             counts = gather_fns.eval_step_many(
                                 state, cache, idx)
                         counts_total = _accumulate(counts_total, counts)
+                elif use_pool:
+                    # --device_data_cache train FRAME POOL: decoded frames
+                    # live in HBM; each step ships only skeletons/labels +
+                    # sample/frame index arrays and gathers pixels on device
+                    # (bilevel.build_pool_step_functions). Host fields stay
+                    # numpy so multi-process --parallel sees them replicated.
+                    import itertools
+                    pfns = device_cache["pool_fns"]
+                    pool = device_cache["pools"][phase]
+                    it = iter(device_cache["pool_batches"](phase, epoch))
+                    while True:
+                        chunk = list(itertools.islice(it, spd))
+                        if not chunk:
+                            break
+                        if len(chunk) == spd and spd > 1:
+                            stacked = jax.tree_util.tree_map(
+                                lambda *xs: np.stack(xs), *chunk)
+                            if trains_weights:
+                                etas = np.asarray(
+                                    [scheduler.step() for _ in chunk],
+                                    np.float32)
+                                state, counts = pfns.weight_step_many(
+                                    state, pool, stacked, etas)
+                            else:
+                                counts = pfns.eval_step_many(
+                                    state, pool, stacked)
+                            counts_total = _accumulate(counts_total, counts)
+                        else:
+                            # tail (or spd == 1): single-step functions avoid
+                            # compiling a tail-length scan program
+                            for h in chunk:
+                                if trains_weights:
+                                    state, counts = pfns.weight_step(
+                                        state, pool, h,
+                                        np.float32(scheduler.step()))
+                                else:
+                                    counts = pfns.eval_step(state, pool, h)
+                                counts_total = _accumulate(counts_total,
+                                                           counts)
+                        _release_host_memory()
                 elif spd > 1 and not unrolled and fns.weight_step_many is not None:
                     import itertools
                     import jax.numpy as jnp
@@ -358,7 +404,9 @@ def run_training(
                     os.path.join(args.save, "checkpoint.msgpack"), state,
                     extra={"epoch": epoch, "scheduler": scheduler.state(),
                            "best_metric": best_metric,
-                           "best_test_metric": best_test_metric})
+                           "best_test_metric": best_test_metric,
+                           "best_epoch": best_epoch,
+                           "best_test_epoch": best_test_epoch})
 
         # NaN-metric failsafe (train one more epoch; mmimdb.py:191-197)
         if math.isnan(best_metric) and num_epochs == 1 and cont_overloop < 1:

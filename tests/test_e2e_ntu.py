@@ -59,9 +59,11 @@ def test_search_found_round_trip(data_root, tmp_path):
 def test_device_data_cache_search_identical_results(data_root, tmp_path):
     """NTU --device_data_cache: the dev split (deterministic pipeline) lives
     in HBM as raw uint8 and is gathered + normalized on device; the augmented
-    train split keeps streaming. Must reproduce the streaming run's genotype
-    and dev accuracy exactly (same shuffle order, padded-batch semantics,
-    PRNG stream)."""
+    train split lives in HBM as a decoded FRAME POOL (its random temporal
+    crop is pure frame selection — the host replays the rng stream and ships
+    only frame-index arrays + skeletons). Must reproduce the streaming run's
+    genotype and dev accuracy exactly (same shuffle order, padded-batch
+    semantics, PRNG stream, augmentation draws)."""
     from bmnas_tpu.cli.ntu import main_search
     cwd = os.getcwd()
     results = []
@@ -82,5 +84,35 @@ def test_device_data_cache_search_identical_results(data_root, tmp_path):
     np.testing.assert_allclose(acc_a, acc_b, rtol=1e-6)
     exp = glob.glob(str(tmp_path / "b" / "final_exp/ntu/search-*"))[0]
     log = open(os.path.join(exp, "log.txt")).read()
-    assert "device cache [dev]:" in log            # dev cached
-    assert "device cache [train]: skipped" in log  # train streams (aug)
+    assert "device cache [dev]:" in log             # dev cached whole
+    assert "device frame pool [train]:" in log      # train pooled
+    assert "device frame pool [train]: skipped" not in log
+
+
+def test_device_frame_pool_parallel_identical_results(data_root, tmp_path):
+    """Frame pool x --parallel on the 8-device mesh: the pool is row-sharded
+    over the data mesh (NamedSharding(mesh, P('data'))) and the global
+    sample/frame gather crosses shards. Streaming --parallel and pooled
+    --parallel must produce the identical genotype and dev accuracy."""
+    from bmnas_tpu.cli.ntu import main_search
+    cwd = os.getcwd()
+    results = []
+    for sub, extra in (("a", ["--parallel"]),
+                       ("b", ["--parallel", "--device_data_cache",
+                              "--steps_per_dispatch", "2"])):
+        d = tmp_path / sub
+        d.mkdir()
+        os.chdir(d)
+        try:
+            results.append(main_search(
+                ["--datadir", data_root, "--checkpointdir", str(d)]
+                + TINY + extra))
+        finally:
+            os.chdir(cwd)
+    (acc_a, gen_a), (acc_b, gen_b) = results
+    assert repr(gen_a) == repr(gen_b)
+    np.testing.assert_allclose(acc_a, acc_b, rtol=1e-6)
+    exp = glob.glob(str(tmp_path / "b" / "final_exp/ntu/search-*"))[0]
+    log = open(os.path.join(exp, "log.txt")).read()
+    assert "device frame pool [train]:" in log
+    assert "device frame pool [train]: skipped" not in log

@@ -475,6 +475,32 @@ def convert_searchable_ntu(sd: Dict[str, np.ndarray], params: Dict,
     return params, stats
 
 
+def convert_searchable_ego(sd: Dict[str, np.ndarray], params: Dict,
+                           stats: Dict, *, C: int, L: int, multiplier: int,
+                           node_steps: int, node_multiplier: int,
+                           steps: int) -> tuple:
+    """Reference Searchable_RGB_Depth_Net state dict -> flax
+    (params, batch_stats) for models/ego.SearchableRGBDepthNet
+    (ego_darts_searchable.py:72-180): two ResNeXt-101 backbones (RGB with the
+    (3,7,7) first-conv surgery, Depth with the 1-channel stem —
+    central/ego.py:296-312), 8 reshape layers, the shared fusion supernet and
+    the flatten-permuted classifier."""
+    params = _to_mutable(params)
+    stats = _to_mutable(stats)
+    for prefix in ("rgb_net", "depth_net"):
+        sub = {k[len(prefix) + 1:]: v for k, v in sd.items()
+               if k.startswith(prefix + ".")}
+        params[prefix], stats[prefix] = convert_resnext(
+            sub, params[prefix], stats[prefix])
+    _convert_reshape_layers(sd, params, stats, 8)
+    _convert_fusion_and_classifier(sd, params, stats, C=C, L=L,
+                                   multiplier=multiplier,
+                                   node_steps=node_steps,
+                                   node_multiplier=node_multiplier,
+                                   steps=steps)
+    return params, stats
+
+
 def convert_arch_params(torch_arch, steps: int) -> Dict[str, np.ndarray]:
     """Reference arch_parameters() list [alphas, beta_0, gamma_0, beta_1, ...]
     (model_search.py:91) -> our arch pytree {alphas, betas, gammas}

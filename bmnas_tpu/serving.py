@@ -10,7 +10,9 @@ test-only CLI mode). Production-oriented additions here:
   * ``fused=True``: the fusion cell's eval forward runs as one Pallas
     whole-cell kernel (ops/kernels/node_mixed.found_node_cell_multi_fused — inner
     op + residual + LayerNorm in a single VMEM residency, BNs folded);
-    applies to node_steps=1/node_multiplier=1 genotypes, off by default;
+    covers arbitrary node_steps/node_multiplier genotypes (the multi-step
+    kernel walks the compiled inner DAG; tests/test_kernels.py), off by
+    default;
   * fixed batch with mask padding, matching the training data contract;
   * optional data-parallel serving over a device mesh.
 """

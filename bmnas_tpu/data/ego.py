@@ -143,11 +143,16 @@ def _depth_dir(video_dir_path: str) -> str:
 
 
 def _load_jpg(path: str, gray: bool) -> np.ndarray:
+    """Decode to uint8 — pixel bytes stay uint8 through the spatial
+    transforms and H2D (4x less relay traffic); the model normalizes on
+    device (models/ego.normalize_uint8_ego). uint8 resize also matches the
+    reference closer than fp32 resize did: its NV transforms operate on PIL
+    Images (uint8) and only ToTensor converts (nv_spatial_transforms.py)."""
     from PIL import Image
     with open(path, "rb") as f:
         with Image.open(f) as img:
             img = img.convert("L" if gray else "RGB")
-            arr = np.asarray(img, np.float32)
+            arr = np.asarray(img, np.uint8)
     if arr.ndim == 2:
         arr = arr[:, :, None]
     return arr
@@ -159,7 +164,11 @@ class EgoDataset:
     def __init__(self, root_path: str, annotation_path: str, subset,
                  small_dataset: bool = False, sample_size: int = SAMPLE_SIZE,
                  sample_duration: int = SAMPLE_DURATION, downsample: int = 1,
-                 train_transform: bool = False, num_workers: int = 8):
+                 train_transform: bool = False, num_workers: int = 8,
+                 host_image_norm: bool = False):
+        # host_image_norm=True forces the legacy fp32 host-side mean-subtract
+        # (used by the equivalence test; the default ships raw uint8 and
+        # normalizes on device — models/ego.normalize_uint8_ego).
         if subset == "train_dev":
             subset = ["training", "validation"]
         self.data, self.class_names = make_dataset(root_path, annotation_path,
@@ -170,6 +179,7 @@ class EgoDataset:
         self.sample_duration = sample_duration
         self.downsample = downsample
         self.train_transform = train_transform
+        self.host_image_norm = host_image_norm
         self._pool = ThreadPoolExecutor(max_workers=max(1, num_workers))
 
     def __len__(self):
@@ -203,14 +213,17 @@ class EgoDataset:
             dep = _load_jpg(os.path.join(depth_dir, f"{i:06d}.jpg"), True)
             rgb_frames.append(spatial(rgb))
             depth_frames.append(spatial(dep))
-        rgb = np.stack(rgb_frames)                       # (T, S, S, 3)
-        depth = np.stack(depth_frames)                   # (T, S, S, 1)
-        # ToTensor(norm_value=1) keeps 0-255; mean-subtract RGB only
-        # (Normalize zips 3 means against 4 channels in the reference).
-        rgb = rgb - EGO_MEAN.reshape(1, 1, 1, 3)
-        return {"rgb": rgb.astype(np.float32),
-                "depth": depth.astype(np.float32),
-                "label": np.int32(rec["label"])}
+        rgb = np.stack(rgb_frames)                       # (T, S, S, 3) uint8
+        depth = np.stack(depth_frames)                   # (T, S, S, 1) uint8
+        if self.host_image_norm:
+            # legacy host path: ToTensor(norm_value=1) keeps 0-255;
+            # mean-subtract RGB only (Normalize zips 3 means against 4
+            # channels in the reference). Bit-identical to the device path.
+            rgb = rgb.astype(np.float32) - EGO_MEAN.reshape(1, 1, 1, 3)
+            return {"rgb": rgb,
+                    "depth": depth.astype(np.float32),
+                    "label": np.int32(rec["label"])}
+        return {"rgb": rgb, "depth": depth, "label": np.int32(rec["label"])}
 
     def batches(self, batch_size: int, shuffle: bool, seed: int = 0,
                 pad_to_full: bool = True) -> Iterator[Dict[str, np.ndarray]]:
@@ -225,8 +238,10 @@ class EgoDataset:
             n = len(samples)
             b = batch_size if pad_to_full else n
             out = {
-                "rgb": np.zeros((b,) + samples[0]["rgb"].shape, np.float32),
-                "depth": np.zeros((b,) + samples[0]["depth"].shape, np.float32),
+                "rgb": np.zeros((b,) + samples[0]["rgb"].shape,
+                                samples[0]["rgb"].dtype),
+                "depth": np.zeros((b,) + samples[0]["depth"].shape,
+                                  samples[0]["depth"].dtype),
                 "label": np.zeros((b,), np.int32),
                 "mask": np.zeros((b,), np.float32),
             }

@@ -44,9 +44,25 @@ def make_mmimdb_synthetic(root: str, n_per_stage: int = 8,
 
 
 def make_ego_synthetic(root: str, n_per_subset: int = 4, num_classes: int = 5,
-                       hw: int = 48, frames: int = 12, seed: int = 0) -> str:
-    """Tiny EgoGesture-layout dataset: JPEG frame dirs + annotation JSON
-    (structure per datasets/ego.py:51-115). Returns (root, annotation_path)."""
+                       hw: int = 48, frames: int = 12, seed: int = 0,
+                       counts: dict = None, gestures_per_video: int = 1,
+                       frame_wh: tuple = None, smooth: bool = False) -> str:
+    """EgoGesture-layout dataset: JPEG frame dirs + annotation JSON
+    (structure per datasets/ego.py:51-115). Returns the annotation path.
+
+    Full-scale knobs (reference workload: main_darts_searchable_ego.py:39-67
+    over the 24k-gesture corpus):
+      * ``counts`` — per-subset sample counts, e.g. the real EgoGesture
+        split {'training': 14416, 'validation': 4768, 'testing': 8};
+      * ``gestures_per_video`` — pack G annotated gestures into one video
+        dir of G*frames//4 frames with overlapping segments, mirroring the
+        real corpus (~12 gestures/video share decoded frames) and dividing
+        the on-disk frame count 4x;
+      * ``frame_wh`` — source frame size, e.g. (320, 240) = the real
+        corpus's resolution (the loader crops min(w,h)*scale then resizes);
+      * ``smooth`` — low-frequency gradient images instead of noise: they
+        JPEG-compress ~10x better (noise frames would need ~30 GB at full
+        scale) and decode slightly faster than real frames."""
     import json
 
     from PIL import Image
@@ -54,27 +70,51 @@ def make_ego_synthetic(root: str, n_per_subset: int = 4, num_classes: int = 5,
     rng = np.random.RandomState(seed)
     labels = [f"gesture{i}" for i in range(num_classes)]
     database = {}
+    w, h = frame_wh if frame_wh else (hw, hw)
+    yy = np.linspace(0.0, 1.0, h, dtype=np.float32)[:, None]
+    xx = np.linspace(0.0, 1.0, w, dtype=np.float32)[None, :]
+
+    def frame_img(gray):
+        if not smooth:
+            shape = (h, w) if gray else (h, w, 3)
+            return (rng.rand(*shape) * 255).astype(np.uint8)
+        # cheap low-frequency pattern, distinct per draw
+        a, b, c = rng.rand(3) * 4 + 1
+        base = (np.sin(a * np.pi * xx + c) + np.cos(b * np.pi * yy)) * 0.25 + 0.5
+        if gray:
+            return (base * 255).astype(np.uint8)
+        chans = [np.clip(base * s, 0, 1) for s in rng.rand(3) + 0.5]
+        return (np.stack(chans, -1) * 255).astype(np.uint8)
+
     vid = 0
     for subset in ("training", "validation", "testing"):
-        for _ in range(n_per_subset):
-            subj = f"sub{vid:02d}"
+        n_samples = counts.get(subset, n_per_subset) if counts else n_per_subset
+        todo = n_samples
+        while todo > 0:
+            g = min(gestures_per_video, todo)
+            n_frames = frames if g == 1 else max(frames, g * frames // 4)
+            subj = f"sub{vid:04d}"
             rgb_dir = os.path.join(root, subj, "scene1", "Color", "rgb1")
             depth_dir = os.path.join(root, subj, "scene1", "Depth", "depth1")
             os.makedirs(rgb_dir, exist_ok=True)
             os.makedirs(depth_dir, exist_ok=True)
-            for f in range(1, frames + 1):
-                arr = (rng.rand(hw, hw, 3) * 255).astype(np.uint8)
-                Image.fromarray(arr).save(
+            for f in range(1, n_frames + 1):
+                Image.fromarray(frame_img(False)).save(
                     os.path.join(rgb_dir, f"{f:06d}.jpg"))
-                dep = (rng.rand(hw, hw) * 255).astype(np.uint8)
-                Image.fromarray(dep, mode="L").save(
+                Image.fromarray(frame_img(True), mode="L").save(
                     os.path.join(depth_dir, f"{f:06d}.jpg"))
-            key = f"{subj}/scene1/Color/rgb1_{vid}"
-            database[key] = {
-                "subset": subset,
-                "annotations": {"label": labels[rng.randint(num_classes)],
-                                "start_frame": 1, "end_frame": frames},
-            }
+            for k in range(g):
+                start = (1 if n_frames == frames
+                         else int(rng.randint(1, n_frames - frames + 2)))
+                key = f"{subj}/scene1/Color/rgb1_{vid}_{k}"
+                database[key] = {
+                    "subset": subset,
+                    "annotations": {
+                        "label": labels[rng.randint(num_classes)],
+                        "start_frame": start,
+                        "end_frame": start + frames - 1},
+                }
+            todo -= g
             vid += 1
     ann_path = os.path.join(root, "annotation.json")
     with open(ann_path, "w") as f:

@@ -26,6 +26,32 @@ from bmnas_tpu.ops.layers import ReshapeInputLayer
 EGO_C_INS = (512, 1024, 2048, 2048, 512, 1024, 2048, 2048)
 EGO_FROZEN_PREFIXES = ("rgb_net", "depth_net")
 
+# NV-transform mean, same constants as data/ego.EGO_MEAN — the loader ships
+# raw uint8 pixels (4x less H2D) and the model normalizes here.
+_EGO_MEAN = (114.7748, 107.7354, 99.475)
+
+
+def normalize_uint8_ego(rgb: jnp.ndarray, depth: jnp.ndarray,
+                        mask: jnp.ndarray = None):
+    """uint8 (B,T,S,S,{3,1}) -> the reference's ToTensor(norm_value=1) space:
+    fp32 0-255 with the RGB mean subtracted, depth untouched (Normalize zips
+    3 means against 4 channels in the reference, datasets/ego.py:330-374).
+    Bit-identical to the host path (data/ego.load_sample host_image_norm).
+    No-op on float inputs (already normalized on host).
+
+    ``mask`` (B,) row validity: padded rows are zero BYTES, which would
+    mean-subtract to -mean; multiplying by the mask keeps them zero, exactly
+    like host-normalized padded batches (identical BN batch statistics)."""
+    if rgb.dtype == jnp.uint8:
+        rgb = rgb.astype(jnp.float32) - jnp.asarray(_EGO_MEAN, jnp.float32)
+        if mask is not None:
+            rgb = rgb * mask.reshape((-1,) + (1,) * (rgb.ndim - 1))
+    if depth.dtype == jnp.uint8:
+        depth = depth.astype(jnp.float32)
+        if mask is not None:
+            depth = depth * mask.reshape((-1,) + (1,) * (depth.ndim - 1))
+    return rgb, depth
+
 
 class SearchableRGBDepthNet(nn.Module):
     C: int
@@ -42,7 +68,8 @@ class SearchableRGBDepthNet(nn.Module):
 
     @nn.compact
     def __call__(self, batch, arch, train: bool):
-        rgb, depth = batch["rgb"], batch["depth"]
+        rgb, depth = normalize_uint8_ego(batch["rgb"], batch["depth"],
+                                         batch.get("mask"))
         # backbones in permanent eval mode (ego_darts_searchable.py:122-128)
         rgb_out = get_rgb_model(self.num_outputs,
                                 dtype=self.backbone_dtype).copy(
@@ -93,7 +120,8 @@ class FoundRGBDepthNet(nn.Module):
     @nn.compact
     def __call__(self, batch, arch, train: bool):
         del arch
-        rgb, depth = batch["rgb"], batch["depth"]
+        rgb, depth = normalize_uint8_ego(batch["rgb"], batch["depth"],
+                                         batch.get("mask"))
         rgb_out = get_rgb_model(self.num_outputs,
                                 dtype=self.backbone_dtype).copy(
             name="rgb_net")(rgb, False)

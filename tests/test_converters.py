@@ -16,6 +16,8 @@ import jax.numpy as jnp
 RNG = np.random.RandomState(0)
 
 
+pytestmark = pytest.mark.quick  # fast subset: python -m pytest -m quick
+
 def t(shape):
     return torch.from_numpy(RNG.randn(*shape).astype(np.float32))
 

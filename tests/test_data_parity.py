@@ -9,6 +9,8 @@ import jax.numpy as jnp
 RNG = np.random.RandomState(0)
 
 
+pytestmark = pytest.mark.quick  # fast subset: python -m pytest -m quick
+
 class TestNTUInterpole:
     @pytest.mark.parametrize("t_in,t_out", [(70, 32), (32, 32), (20, 32)])
     def test_matches_torch_bilinear(self, t_in, t_out):
@@ -209,3 +211,44 @@ class TestUint8DeviceNormalization:
         assert b["image"].dtype == np.float32
         # every row is in normalized space (raw uint8 would sit in [0, 255])
         assert np.abs(b["image"]).max() < 10.0
+
+
+class TestEgoUint8DeviceNormalization:
+    """Ego's uint8 H2D path (ship raw bytes incl. padded-row masking,
+    normalize on device) must equal the legacy fp32 host mean-subtract
+    bit-for-bit through the full searchable net."""
+
+    def test_batches_ship_uint8_and_logits_match_host_norm(self, tmp_path):
+        import jax
+
+        from bmnas_tpu.data.ego import EgoDataset
+        from bmnas_tpu.data.synthetic import make_ego_synthetic
+        from bmnas_tpu.models.ego import SearchableRGBDepthNet
+        from bmnas_tpu.models.supernet import init_arch_params
+
+        ann = make_ego_synthetic(str(tmp_path), n_per_subset=3, hw=48,
+                                 frames=12)
+        kw = dict(sample_size=32, sample_duration=8, num_workers=2,
+                  train_transform=True)
+        ds_dev = EgoDataset(str(tmp_path), ann, "training", **kw)
+        ds_host = EgoDataset(str(tmp_path), ann, "training",
+                             host_image_norm=True, **kw)
+
+        # batch of 4 from 3 samples: the 4th row is PADDING (mask 0) — the
+        # device path must zero it after mean-subtract, like the host path
+        b_dev = next(iter(ds_dev.batches(4, shuffle=False)))
+        b_host = next(iter(ds_host.batches(4, shuffle=False)))
+        assert b_dev["rgb"].dtype == np.uint8
+        assert b_dev["depth"].dtype == np.uint8
+        assert b_host["rgb"].dtype == np.float32
+        assert b_dev["mask"][-1] == 0.0
+
+        model = SearchableRGBDepthNet(
+            C=8, L=4, steps=2, multiplier=2, node_steps=1, node_multiplier=1,
+            num_input_nodes=8, num_keep_edges=2, num_outputs=5, drpt=0.0)
+        arch = init_arch_params(jax.random.PRNGKey(1), 2, 8, 1)
+        v = model.init({"params": jax.random.PRNGKey(0),
+                        "dropout": jax.random.PRNGKey(2)}, b_dev, arch, False)
+        out_dev = np.asarray(model.apply(v, b_dev, arch, False))
+        out_host = np.asarray(model.apply(v, b_host, arch, False))
+        np.testing.assert_allclose(out_dev, out_host, rtol=1e-5, atol=1e-5)

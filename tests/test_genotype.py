@@ -21,6 +21,8 @@ from bmnas_tpu.genotype import (
 )
 
 
+pytestmark = pytest.mark.quick  # fast subset: python -m pytest -m quick
+
 def one_hot_rows(n_rows, hot_col, n_cols=2, hot=0.9):
     w = np.full((n_rows, n_cols), (1 - hot) / (n_cols - 1))
     w[:, hot_col] = hot

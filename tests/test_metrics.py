@@ -22,6 +22,8 @@ except Exception:
 RNG = np.random.RandomState(42)
 
 
+pytestmark = pytest.mark.quick  # fast subset: python -m pytest -m quick
+
 def random_multilabel(b=64, c=23, p=0.2):
     y_true = (RNG.rand(b, c) < p).astype(np.float32)
     y_pred = (RNG.rand(b, c) < p).astype(np.float32)

@@ -9,6 +9,8 @@ import pytest
 from bmnas_tpu.native import loader as nl
 
 
+pytestmark = pytest.mark.quick  # fast subset: python -m pytest -m quick
+
 @pytest.fixture(scope="module")
 def built():
     if not nl.native_available():

@@ -1,8 +1,11 @@
 """Scheduler semantics tests (reference models/auxiliary/scheduler.py:12-62)."""
 import numpy as np
+import pytest
 
 from bmnas_tpu.search.scheduler import FixedScheduler, LRCosineAnnealingScheduler
 
+
+pytestmark = pytest.mark.quick  # fast subset: python -m pytest -m quick
 
 def simulate_reference(eta_max, eta_min, Ti, Tm, nbpe, n_steps):
     """Independent simulation of the published recurrence (the spec)."""

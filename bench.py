@@ -434,6 +434,8 @@ def main():
         "fp32_weight_step_mfu": mfu(w_flops32, t_w32),
         "fp32_achieved_tflops": achieved_tflops(w_flops32, t_w32),
         "bf16_samples_per_sec": round(sps16, 2),
+        "bf16_weight_step_ms": round(t_w16 * 1e3, 2),
+        "bf16_arch_step_ms": round(t_a16 * 1e3, 2),
         "bf16_projected_search_minutes": round(search16 / 60.0, 1),
         "bf16_weight_step_mfu": mfu(w_flops16, t_w16),
         "bf16_achieved_tflops": achieved_tflops(w_flops16, t_w16),

@@ -397,3 +397,116 @@ class TestStepsPerDispatch:
         stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *batches)
         many = fns.eval_step_many(state, stacked)
         np.testing.assert_allclose(total, float(many["loss_sum"]), rtol=1e-6)
+
+
+class TestFramePool:
+    """Device frame-pool stepping (build_pool_step_functions): the on-device
+    gather pool[sample_idx][frame_idx] must reproduce host-assembled batches
+    exactly, including zeroed padding rows (sample_idx = -1)."""
+
+    def test_gather_matches_numpy_and_masks_padding(self):
+        from bmnas_tpu.search.bilevel import _gather_pool_batch
+        r = np.random.RandomState(0)
+        pool = jnp.asarray(r.randint(0, 255, size=(5, 7, 4, 4, 3),
+                                     dtype=np.uint8))
+        host = {
+            "sample_idx": jnp.asarray([3, 0, -1], jnp.int32),
+            "frame_idx": jnp.asarray(r.randint(0, 7, size=(3, 2)), jnp.int32),
+            "label": jnp.asarray([1, 2, 0], jnp.int32),
+            "mask": jnp.asarray([1.0, 1.0, 0.0], jnp.float32),
+        }
+        out = _gather_pool_batch(pool, host, "image")
+        got = np.asarray(out["image"])
+        p = np.asarray(pool)
+        fi = np.asarray(host["frame_idx"])
+        np.testing.assert_array_equal(got[0], p[3][fi[0]])
+        np.testing.assert_array_equal(got[1], p[0][fi[1]])
+        np.testing.assert_array_equal(got[2], 0)          # padded row zeroed
+        assert "sample_idx" not in out and "frame_idx" not in out
+        np.testing.assert_array_equal(np.asarray(out["label"]),
+                                      [1, 2, 0])
+
+    def test_pool_steps_match_direct_batches(self):
+        """weight_step / weight_step_many / eval_step_many through the pool
+        equal the same steps on host-gathered batches — a minimal flax net
+        with a real frame axis (B, F, H, W, C), uint8 pool (the NTU
+        configuration), including the scan chunking.
+
+        (The full-CLI bit-equivalence, incl. the augmentation rng replay and
+        the 8-device row-sharded pool, lives in tests/test_e2e_ntu.py.)"""
+        import flax.linen as nn
+
+        from bmnas_tpu.search.bilevel import build_pool_step_functions
+
+        class TinyClipNet(nn.Module):
+            @nn.compact
+            def __call__(self, batch, arch, train: bool):
+                x = batch["image"]
+                if x.dtype == jnp.uint8:
+                    x = x.astype(jnp.float32) / 255.0
+                    m = batch["mask"]
+                    x = x * m.reshape((-1,) + (1,) * (x.ndim - 1))
+                h = x.reshape(x.shape[0], -1)
+                h = nn.Dense(8, name="enc")(h)
+                h = nn.BatchNorm(use_running_average=not train,
+                                 name="bn")(h)
+                return nn.Dense(5, name="head")(nn.relu(h))
+
+        model = TinyClipNet()
+        r = np.random.RandomState(3)
+        pool_np = r.randint(0, 255, size=(6, 3, 4, 4, 3), dtype=np.uint8)
+        pool = jnp.asarray(pool_np)
+        k, b, F = 2, 2, 2
+        sample_idx = np.asarray([[0, 4], [5, 2]], np.int32)
+        frame_idx = r.randint(0, 3, size=(k, b, F)).astype(np.int32)
+        labels_np = (r.rand(k, b, 5) < 0.3).astype(np.float32)
+        hosts = {
+            "sample_idx": jnp.asarray(sample_idx),
+            "frame_idx": jnp.asarray(frame_idx),
+            "label": jnp.asarray(labels_np),
+            "mask": jnp.ones((k, b), jnp.float32),
+        }
+        batch0 = {"image": pool[sample_idx[0]][:, 0:F],
+                  "label": hosts["label"][0], "mask": hosts["mask"][0]}
+        variables = model.init({"params": jax.random.PRNGKey(0)},
+                               batch0, None, True)
+
+        def apply_fn(vs, bt, a, train, rngs, mutable):
+            if mutable:
+                return model.apply(vs, bt, a, train, mutable=mutable)
+            return model.apply(vs, bt, a, train)
+
+        labels = make_param_labels(variables["params"], ())
+        w_tx = make_weight_optimizer(labels, weight_decay=1e-4)
+        state = TrainState(
+            params=variables["params"],
+            batch_stats=variables["batch_stats"], arch=None,
+            opt_w=w_tx.init(variables["params"]), opt_arch=None,
+            rng=jax.random.PRNGKey(7), step=jnp.asarray(0, jnp.int32))
+        fns = build_step_functions(apply_fn, bce_with_logits, counts_fn,
+                                   w_tx, None, donate=False)
+        pfns = build_pool_step_functions(fns, "image")
+
+        etas = jnp.full((k,), 1e-2, jnp.float32)
+
+        # sequential reference FIRST: the pool steps donate their state
+        s_ref, c_ref = state, None
+        for i in range(k):
+            img = pool_np[sample_idx[i]]                       # (b, 3, 4,4,3)
+            img = np.take_along_axis(
+                img, frame_idx[i][:, :, None, None, None], axis=1)
+            batch = {"image": jnp.asarray(img),
+                     "label": hosts["label"][i], "mask": hosts["mask"][i]}
+            s_ref, c = fns.weight_step(s_ref, batch, etas[i])
+            c_ref = c if c_ref is None else jax.tree_util.tree_map(
+                lambda x, y: x + y, c_ref, c)
+
+        s_pool, c_pool = pfns.weight_step_many(state, pool, hosts, etas)
+        np.testing.assert_allclose(float(c_pool["loss_sum"]),
+                                   float(c_ref["loss_sum"]), rtol=1e-6)
+        for leaf_a, leaf_b in zip(
+                jax.tree_util.tree_leaves(s_pool.params),
+                jax.tree_util.tree_leaves(s_ref.params)):
+            np.testing.assert_allclose(np.asarray(leaf_a),
+                                       np.asarray(leaf_b), rtol=2e-6,
+                                       atol=2e-7)

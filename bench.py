@@ -370,6 +370,84 @@ def measure_ego_search(batch=96, iters=60, warm=8):
     return batch / t_step, t_step, flops
 
 
+def measure_ego_found(batch=96, iters=40, warm=6):
+    """EgoGesture found-phase weight step at reference shape (batch 96,
+    main_darts_found_ego.py defaults: both ResNeXt-101 backbones frozen +
+    eval-pinned BN, so no backward memory — batch 96 fits one chip; the
+    trainable part is the found fusion cell + classifier)."""
+    from bmnas_tpu.genotype import Genotype, StepGenotype
+    from bmnas_tpu.models.ego import EGO_FROZEN_PREFIXES, FoundRGBDepthNet
+    from bmnas_tpu.search.bilevel import (
+        TrainState,
+        build_step_functions,
+        cross_entropy,
+        make_param_labels,
+        make_weight_optimizer,
+    )
+
+    geno = Genotype(
+        edges=[("skip", 3), ("skip", 7), ("skip", 2), ("skip", 6)],
+        steps=[StepGenotype([("skip", 0), ("skip", 1), ("skip", 2),
+                             ("skip", 0), ("skip", 1), ("skip", 3)],
+                            ["ScaleDotAttn", "LinearGLU", "ConcatFC"],
+                            [2, 3, 4]),
+               StepGenotype([("skip", 1), ("skip", 0), ("skip", 2),
+                             ("skip", 1), ("skip", 0), ("skip", 3)],
+                            ["LinearGLU", "Sum", "ScaleDotAttn"],
+                            [2, 3, 4])],
+        concat=[8, 9])
+    model = FoundRGBDepthNet.from_genotype(
+        geno, backbone_dtype=jnp.bfloat16, C=128, L=8, steps=2, multiplier=2,
+        node_steps=3, node_multiplier=3, num_input_nodes=8, num_keep_edges=2,
+        num_outputs=83, drpt=0.0)
+
+    def mk(seed):
+        r = np.random.RandomState(seed)
+        return {
+            "rgb": jnp.asarray(r.rand(batch, 32, 112, 112, 3).astype(np.float32)),
+            "depth": jnp.asarray(r.rand(batch, 32, 112, 112, 1).astype(np.float32)),
+            "label": jnp.asarray(r.randint(0, 83, size=(batch,)).astype(np.int32)),
+            "mask": jnp.ones((batch,), jnp.float32),
+        }
+
+    batch0 = mk(0)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(2)},
+        batch0, None, True)
+    labels = make_param_labels(variables["params"], EGO_FROZEN_PREFIXES)
+    w_tx = make_weight_optimizer(labels, weight_decay=1e-4)
+    state = TrainState(
+        params=variables["params"], batch_stats=variables["batch_stats"],
+        arch=None, opt_w=w_tx.init(variables["params"]), opt_arch=None,
+        rng=jax.random.PRNGKey(3), step=jnp.asarray(0, jnp.int32))
+
+    def apply_fn(vs, b, a, train, rngs, mutable):
+        if mutable:
+            return model.apply(vs, b, a, train, rngs=rngs, mutable=mutable)
+        return model.apply(vs, b, a, train)
+
+    def counts_fn(logits, lab, mask):
+        preds = jnp.argmax(logits, axis=-1)
+        return {"correct": jnp.sum((preds == lab) * mask)}
+
+    fns = build_step_functions(apply_fn, cross_entropy, counts_fn, w_tx,
+                               None, donate=True,
+                               frozen_prefixes=EGO_FROZEN_PREFIXES)
+    eta = np.float32(1e-3)
+    batches = [mk(i) for i in range(2)]
+    w_step, flops = aot_step(fns.weight_step, state, batches[0], eta)
+    s = state
+    for i in range(warm):
+        s, c = w_step(s, batches[i % 2], eta)
+    float(c["loss_sum"])
+    t0 = time.perf_counter()
+    for i in range(iters):
+        s, c = w_step(s, batches[i % 2], eta)
+    float(c["loss_sum"])
+    t_step = (time.perf_counter() - t0) / iters
+    return batch / t_step, t_step, flops
+
+
 def recorded_search(task):
     """Measured full-scale search wall-clock, recorded by
     benchmarks/record_search.py into benchmarks/<task>_fullscale_search.json
@@ -424,6 +502,17 @@ def main():
         }
     except Exception as e:
         ego_detail = {"ego_search_error": f"{type(e).__name__}: {e}"[:200]}
+    try:
+        egf_sps, egf_step, egf_flops = measure_ego_found()
+        ego_detail.update({
+            "ego_found_samples_per_sec": round(egf_sps, 2),
+            "ego_found_step_ms": round(egf_step * 1e3, 2),
+            "ego_found_batch": 96,
+            "ego_found_mfu": mfu(egf_flops, egf_step),
+            "ego_found_achieved_tflops": achieved_tflops(egf_flops, egf_step),
+        })
+    except Exception as e:
+        ego_detail["ego_found_error"] = f"{type(e).__name__}: {e}"[:200]
     required_rate = EPOCHS * (TRAIN_N + DEV_N) / TARGET_SECONDS
     best = max(sps32, sps16)
     detail = {

@@ -37,6 +37,16 @@ composite therefore remains the DEFAULT; the kernel is user-reachable via
 equivalence-tested against the composite (1e-7 fp32 on CPU; bf16-MXU
 tolerance on TPU, where XLA's default-precision einsum rounds differently).
 
+A train-mode-BN variant for the SEARCH hot loop (two-pass grid: batch-stat
+reduction pass + apply pass, so the kernel could host the supernet's
+cross-batch BN) was sized and rejected: the search forward holds 2
+NodeMixedOps (steps=2 x node_steps=1 at the reference mmimdb config), so
+even the full 2x per-op win bounds the saving at ~2 x 3.6 us x fwd+bwd
+~= 20-30 us of a measured ~2.3 ms bf16 weight step (<2%) — the step is
+dominated by the frozen VGG forward, not the fusion cell. The two-pass
+structure would also re-run or spill the GLU/ConcatFC GEMMs, eating most
+of the margin.
+
 Shapes: x, y (B, L, C); one grid program per batch row; block (L, C) and the
 (2C, 2C) weights sit in VMEM (L<=16, C<=192 in all reference configs ->
 < 1 MB). The layout is blockwise-extensible over L: scores are computed for

@@ -116,3 +116,29 @@ def test_device_frame_pool_parallel_identical_results(data_root, tmp_path):
     log = open(os.path.join(exp, "log.txt")).read()
     assert "device frame pool [train]:" in log
     assert "device frame pool [train]: skipped" not in log
+
+
+def test_device_frame_pool_found_identical_results(data_root, tmp_path):
+    """Found retrain with --device_data_cache (train frame POOL + test-split
+    cache) must reproduce the streaming found run's accuracy exactly — the
+    found CLI wires build_pool_step_functions too (cli/ntu.py run_found)."""
+    from bmnas_tpu.cli.ntu import main_found, main_search
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        main_search(["--datadir", data_root, "--checkpointdir",
+                     str(tmp_path)] + TINY)
+        exp = glob.glob("final_exp/ntu/search-*")[0]
+        accs = []
+        for extra in ([], ["--device_data_cache", "--steps_per_dispatch",
+                           "2"]):
+            accs.append(main_found(
+                ["--datadir", data_root, "--checkpointdir", str(tmp_path),
+                 "--search_exp_dir", exp, "--steps", "2"] + TINY + extra))
+        np.testing.assert_allclose(accs[0], accs[1], rtol=1e-6)
+        eval_dirs = sorted(glob.glob(os.path.join(exp, "eval-*")))
+        log = open(os.path.join(eval_dirs[-1], "log.txt")).read()
+        assert "device frame pool [train]:" in log
+        assert "device frame pool [train]: skipped" not in log
+    finally:
+        os.chdir(cwd)

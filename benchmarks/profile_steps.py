@@ -86,26 +86,46 @@ def _generic_traced(measure_fn, steps):
 
 
 def top_ops(profile_dir, k=15):
-    """Convert the xplane capture to the op-profile table and return the
-    top-k self-time ops [(self_us, name, category), ...]."""
+    """Parse the xplane capture directly (the baked tensorboard_plugin_profile
+    2.13 converter is incompatible with TF 2.20's pywrap) and return the
+    top-k ops by total duration per device plane:
+    {plane: [{"name", "total_ms", "count"}, ...]}."""
     xs = sorted(glob.glob(os.path.join(profile_dir, "**", "*.xplane.pb"),
                           recursive=True))
     if not xs:
-        return None, "no xplane.pb captured (relay may not export device traces)"
-    from tensorboard_plugin_profile.convert import raw_to_tool_data as r2t
-    params = {"graph_viewer_options": {}}
-    try:
-        data, _ = r2t.xspace_to_tool_data([xs[-1]], "framework_op_stats^",
-                                          params)
-    except Exception as e:
-        return None, f"convert failed: {type(e).__name__}: {e}"
-    try:
-        rows = json.loads(data)
-    except Exception:
-        # csv fallback
-        lines = data.splitlines()
-        return lines[:k + 1], None
-    return rows, None
+        return None, ("no xplane.pb captured (relay may not export device "
+                      "traces)")
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+    space = xplane_pb2.XSpace()
+    with open(xs[-1], "rb") as f:
+        space.ParseFromString(f.read())
+    device_planes = [p for p in space.planes
+                     if "TPU" in p.name or "/device" in p.name.lower()
+                     or "XLA" in p.name]
+    if not device_planes:
+        # CPU-mode fallback (validation without the chip): the host compute
+        # plane carries the op events instead
+        device_planes = [p for p in space.planes if p.name == "/host:CPU"]
+    out = {}
+    for plane in device_planes:
+        pname = plane.name
+        meta = {m_id: m.name for m_id, m in plane.event_metadata.items()}
+        agg = {}
+        for line in plane.lines:
+            if line.name and "step" in line.name.lower():
+                continue  # step-markers double-count their ops
+            for ev in line.events:
+                name = meta.get(ev.metadata_id, str(ev.metadata_id))
+                tot, cnt = agg.get(name, (0, 0))
+                agg[name] = (tot + ev.duration_ps, cnt + 1)
+        rows = sorted(agg.items(), key=lambda kv: -kv[1][0])[:k]
+        if rows:
+            out[pname] = [{"name": n[:120],
+                           "total_ms": round(t / 1e9, 3),
+                           "count": c} for n, (t, c) in rows]
+    if not out:
+        return None, "no device planes in capture"
+    return out, None
 
 
 def main():

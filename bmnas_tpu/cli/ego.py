@@ -101,6 +101,15 @@ def _add_ego_flags(parser, *, search: bool):
     parser.add_argument('--bf16_backbone', action='store_true', default=False,
                         help='run the frozen 3D conv backbones in bfloat16 '
                              '(MXU-native; fusion path stays fp32)')
+    parser.add_argument('--dense_grouped_convs', action='store_true',
+                        default=False,
+                        help='execute the ResNeXt cardinality-32 grouped '
+                             'convs as block-diagonal DENSE convs: identical '
+                             'math, full MXU tiles instead of 32 tiny '
+                             'per-group matmuls; the expansion constant-'
+                             'folds (backbones are frozen), so steps pay '
+                             'nothing (measure: benchmarks/'
+                             'grouped_conv_probe.py)')
     parser.add_argument('--device_data_cache', action='store_true',
                         default=False,
                         help='keep the deterministic splits (dev/test: '
@@ -222,6 +231,7 @@ def run_search(args, logger):
     from bmnas_tpu.cli.common import backbone_dtype_from_args
     bdt = backbone_dtype_from_args(args)
     model = SearchableRGBDepthNet(backbone_dtype=bdt,
+                                  dense_grouped=args.dense_grouped_convs,
                                   **model_kwargs_from_args(args))
     arch = init_arch_params(jax.random.PRNGKey(args.seed + 1), args.steps,
                             args.num_input_nodes, args.node_steps)
@@ -274,6 +284,7 @@ def run_found(args, logger, genotype, test_model_path=None):
     bdt = backbone_dtype_from_args(args)
     model = FoundRGBDepthNet.from_genotype(
         genotype, backbone_dtype=bdt,
+        dense_grouped=getattr(args, 'dense_grouped_convs', False),
         node_variant=getattr(args, 'node_variant', 'bmnas'),
         fused_eval=getattr(args, 'fused_kernels', False),
         **model_kwargs_from_args(args))

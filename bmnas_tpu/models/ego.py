@@ -65,6 +65,7 @@ class SearchableRGBDepthNet(nn.Module):
     num_outputs: int
     drpt: float
     backbone_dtype: Any = jnp.float32
+    dense_grouped: bool = False  # ResNeXt grouped convs as block-diag dense
 
     @nn.compact
     def __call__(self, batch, arch, train: bool):
@@ -72,10 +73,12 @@ class SearchableRGBDepthNet(nn.Module):
                                          batch.get("mask"))
         # backbones in permanent eval mode (ego_darts_searchable.py:122-128)
         rgb_out = get_rgb_model(self.num_outputs,
-                                dtype=self.backbone_dtype).copy(
+                                dtype=self.backbone_dtype,
+                                dense_grouped=self.dense_grouped).copy(
             name="rgb_net")(rgb, False)
         depth_out = get_depth_model(self.num_outputs,
-                                    dtype=self.backbone_dtype).copy(
+                                    dtype=self.backbone_dtype,
+                                    dense_grouped=self.dense_grouped).copy(
             name="depth_net")(depth, False)
         feats = list(rgb_out[0:-1]) + list(depth_out[0:-1])
         reshaped = [
@@ -108,6 +111,7 @@ class FoundRGBDepthNet(nn.Module):
     node_variant: str = "bmnas"
     fused_eval: bool = False  # Pallas whole-cell kernel on eval forwards
     backbone_dtype: Any = jnp.float32
+    dense_grouped: bool = False
 
     @classmethod
     def from_genotype(cls, genotype: G.Genotype, **kwargs):
@@ -123,10 +127,12 @@ class FoundRGBDepthNet(nn.Module):
         rgb, depth = normalize_uint8_ego(batch["rgb"], batch["depth"],
                                          batch.get("mask"))
         rgb_out = get_rgb_model(self.num_outputs,
-                                dtype=self.backbone_dtype).copy(
+                                dtype=self.backbone_dtype,
+                                dense_grouped=self.dense_grouped).copy(
             name="rgb_net")(rgb, False)
         depth_out = get_depth_model(self.num_outputs,
-                                    dtype=self.backbone_dtype).copy(
+                                    dtype=self.backbone_dtype,
+                                    dense_grouped=self.dense_grouped).copy(
             name="depth_net")(depth, False)
         feats = list(rgb_out[0:-1]) + list(depth_out[0:-1])
         used = self._referenced_inputs()

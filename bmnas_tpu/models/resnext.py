@@ -21,9 +21,49 @@ from typing import Tuple
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from bmnas_tpu.ops.layers import BatchNorm
+
+
+class BlockDiagGroupedConv(nn.Module):
+    """The grouped 3x3x3 conv executed as a DENSE conv with a block-diagonal
+    kernel — identical math (off-block weights are exactly zero), but full
+    128x128 MXU tiles instead of 32 tiny per-group matmuls (cardinality-32
+    grouped convs give the MXU 4-32 channels per group, its worst case).
+
+    Parameter tree is identical to the grouped ``nn.Conv`` (same "kernel"
+    name, same (3,3,3,cpg,F) shape, same lecun-normal fan-in), so torch
+    conversion and checkpoints are unaffected. For the ego nets — the
+    intended user — the backbones are frozen constants of the step, so XLA
+    constant-folds the block-diagonal expansion at compile time and the step
+    never pays for it. Opt-in via ``dense_grouped`` (measure first:
+    benchmarks/grouped_conv_probe.py)."""
+    features: int
+    groups: int
+    stride: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c_in = x.shape[-1]
+        cpg = c_in // self.groups
+        opg = self.features // self.groups
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, 3, cpg, self.features), jnp.float32)
+        k = kernel.astype(self.dtype)
+        # (27, cpg, G, opg): out channels are group-major (o = g*opg + j)
+        k3 = k.reshape(27, cpg, self.groups, opg)
+        eye = jnp.eye(self.groups, dtype=self.dtype)
+        dense = jnp.einsum("hg,scgo->shcgo", eye, k3).reshape(
+            3, 3, 3, c_in, self.features)
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, dense.shape, ("NTHWC", "THWIO", "NTHWC"))
+        return jax.lax.conv_general_dilated(
+            x.astype(self.dtype), dense, (self.stride,) * 3,
+            [(1, 1)] * 3, dimension_numbers=dn)
 
 
 class ResNeXtBottleneck(nn.Module):
@@ -33,6 +73,7 @@ class ResNeXtBottleneck(nn.Module):
     downsample: bool = False
     expansion: int = 2
     dtype: Any = jnp.float32
+    dense_grouped: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -42,9 +83,15 @@ class ResNeXtBottleneck(nn.Module):
                       name="conv1")(x)
         out = BatchNorm(name="bn1")(out, train)
         out = nn.relu(out)
-        out = nn.Conv(mid, (3, 3, 3), strides=self.stride, padding=1,
-                      feature_group_count=self.cardinality, use_bias=False,
-                      dtype=self.dtype, name="conv2")(out)
+        if self.dense_grouped:
+            out = BlockDiagGroupedConv(
+                features=mid, groups=self.cardinality, stride=self.stride,
+                dtype=self.dtype, name="conv2")(out)
+        else:
+            out = nn.Conv(mid, (3, 3, 3), strides=self.stride, padding=1,
+                          feature_group_count=self.cardinality,
+                          use_bias=False, dtype=self.dtype,
+                          name="conv2")(out)
         out = BatchNorm(name="bn2")(out, train)
         out = nn.relu(out)
         out = nn.Conv(self.planes * self.expansion, (1, 1, 1), use_bias=False,
@@ -67,6 +114,7 @@ class ResNeXt3D(nn.Module):
     in_channels: int = 3       # 3 RGB / 1 Depth / 4 RGB-D
     stem_kernel_t: int = 3     # RGB surgery uses (3,7,7); original is (7,7,7)
     dtype: Any = jnp.float32   # bf16 => MXU conv stack, fp32 taps/params
+    dense_grouped: bool = False  # grouped convs as block-diag dense (MXU)
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -89,6 +137,7 @@ class ResNeXt3D(nn.Module):
                 h = ResNeXtBottleneck(
                     planes=planes, cardinality=self.cardinality, stride=s,
                     downsample=need_ds, dtype=self.dtype,
+                    dense_grouped=self.dense_grouped,
                     name=f"layer{stage+1}_{b}")(h, train)
             inplanes = planes * 2
             taps.append(h.astype(jnp.float32))  # fusion path stays fp32
@@ -99,19 +148,22 @@ class ResNeXt3D(nn.Module):
         return x2, x3, x4, pooled, logits
 
 
-def get_rgb_model(num_outputs: int, dtype: Any = jnp.float32) -> ResNeXt3D:
+def get_rgb_model(num_outputs: int, dtype: Any = jnp.float32,
+                  dense_grouped: bool = False) -> ResNeXt3D:
     """ego.py:218-221 + _modify_first_conv_layer(model, 3, 3)."""
     return ResNeXt3D(num_outputs=num_outputs, in_channels=3, stem_kernel_t=3,
-                     dtype=dtype)
+                     dtype=dtype, dense_grouped=dense_grouped)
 
 
-def get_depth_model(num_outputs: int, dtype: Any = jnp.float32) -> ResNeXt3D:
+def get_depth_model(num_outputs: int, dtype: Any = jnp.float32,
+                    dense_grouped: bool = False) -> ResNeXt3D:
     """ego.py:223-226 + _construct_depth_model (1-channel, original 7^3 stem)."""
     return ResNeXt3D(num_outputs=num_outputs, in_channels=1, stem_kernel_t=7,
-                     dtype=dtype)
+                     dtype=dtype, dense_grouped=dense_grouped)
 
 
-def get_rgbd_model(num_outputs: int, dtype: Any = jnp.float32) -> ResNeXt3D:
+def get_rgbd_model(num_outputs: int, dtype: Any = jnp.float32,
+                   dense_grouped: bool = False) -> ResNeXt3D:
     """ego.py:256-280 (4-channel stem)."""
     return ResNeXt3D(num_outputs=num_outputs, in_channels=4, stem_kernel_t=7,
-                     dtype=dtype)
+                     dtype=dtype, dense_grouped=dense_grouped)

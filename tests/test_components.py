@@ -239,3 +239,54 @@ def test_device_prefetch_worker_exits_on_abandonment():
     gc.collect()
     time.sleep(0.6)
     assert threading.active_count() <= before
+
+
+class TestBlockDiagGroupedConv:
+    """--dense_grouped_convs: the block-diagonal dense execution of the
+    ResNeXt grouped conv must equal the grouped nn.Conv exactly (the
+    off-block weights are zero, same sums in a different tiling)."""
+
+    def test_matches_grouped_conv(self):
+        import flax.linen as nn
+
+        from bmnas_tpu.models.resnext import BlockDiagGroupedConv
+
+        groups, c_in, feats, stride = 8, 32, 32, 2
+        x = jnp.asarray(np.random.RandomState(0)
+                        .randn(2, 6, 10, 10, c_in).astype(np.float32))
+        grouped = nn.Conv(feats, (3, 3, 3), strides=stride, padding=1,
+                          feature_group_count=groups, use_bias=False)
+        dense = BlockDiagGroupedConv(features=feats, groups=groups,
+                                     stride=stride)
+        vg = grouped.init(jax.random.PRNGKey(0), x)
+        # identical param name + shape -> transplant verbatim
+        vd = {"params": {"kernel": vg["params"]["kernel"]}}
+        want = np.asarray(grouped.apply(vg, x))
+        got = np.asarray(dense.apply(vd, x))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_full_net_parity_with_flag(self):
+        """SearchableRGBDepthNet(dense_grouped=True) must produce the same
+        logits as the default net from the SAME params (flag only changes
+        the execution plan, never the parameter tree)."""
+        from bmnas_tpu.models.ego import SearchableRGBDepthNet
+        from bmnas_tpu.models.supernet import init_arch_params
+
+        cfg = dict(C=8, L=4, steps=2, multiplier=2, node_steps=1,
+                   node_multiplier=1, num_input_nodes=8, num_keep_edges=2,
+                   num_outputs=5, drpt=0.0)
+        r = np.random.RandomState(1)
+        batch = {
+            "rgb": r.rand(2, 8, 32, 32, 3).astype(np.float32),
+            "depth": r.rand(2, 8, 32, 32, 1).astype(np.float32),
+            "label": r.randint(0, 5, size=(2,)).astype(np.int32),
+            "mask": np.ones((2,), np.float32),
+        }
+        arch = init_arch_params(jax.random.PRNGKey(1), 2, 8, 1)
+        base = SearchableRGBDepthNet(**cfg)
+        flag = SearchableRGBDepthNet(dense_grouped=True, **cfg)
+        v = base.init({"params": jax.random.PRNGKey(0),
+                       "dropout": jax.random.PRNGKey(2)}, batch, arch, True)
+        want = np.asarray(base.apply(v, batch, arch, False))
+        got = np.asarray(flag.apply(v, batch, arch, False))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)

@@ -299,10 +299,12 @@ def measure_ntu_found(batch=48, iters=60, warm=8):
     return batch / t_step, t_step, flops
 
 
-def measure_ego_search(batch=96, iters=60, warm=8):
+def measure_ego_search(batch=96, iters=60, warm=8, dense_grouped=False):
     """EgoGesture supernet weight step at reference shape (batch 96,
     2x ResNeXt-101-3D frozen backbones, 32x112x112 RGB / 1-ch depth clips,
-    C=128, L=8, node_steps=3 — main_darts_searchable_ego.py defaults)."""
+    C=128, L=8, node_steps=3 — main_darts_searchable_ego.py defaults).
+    ``dense_grouped`` A/Bs the block-diagonal grouped-conv execution
+    (--dense_grouped_convs; benchmarks/grouped_conv_probe.py)."""
     from bmnas_tpu.models.ego import EGO_FROZEN_PREFIXES, SearchableRGBDepthNet
     from bmnas_tpu.models.supernet import init_arch_params
     from bmnas_tpu.search.bilevel import (
@@ -317,7 +319,8 @@ def measure_ego_search(batch=96, iters=60, warm=8):
     cfg = dict(C=128, L=8, steps=2, multiplier=2, node_steps=3,
                node_multiplier=3, num_input_nodes=8, num_keep_edges=2,
                num_outputs=83, drpt=0.0)
-    model = SearchableRGBDepthNet(backbone_dtype=jnp.bfloat16, **cfg)
+    model = SearchableRGBDepthNet(backbone_dtype=jnp.bfloat16,
+                                  dense_grouped=dense_grouped, **cfg)
     arch = init_arch_params(jax.random.PRNGKey(1), cfg["steps"],
                             cfg["num_input_nodes"], cfg["node_steps"])
 

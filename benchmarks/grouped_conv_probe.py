@@ -94,6 +94,17 @@ def main():
         out[f"{name}_grouped_ms"] = round(tg * 1e3, 3)
         out[f"{name}_dense_ms"] = round(td * 1e3, 3)
         out[f"{name}_dense_speedup"] = round(tg / td, 2)
+
+    # decision-grade: the WHOLE ego search step, grouped vs block-diag dense
+    import bench
+    for tag, dg in (("grouped", False), ("dense", True)):
+        try:
+            sps, t_step, _ = bench.measure_ego_search(iters=30, warm=5,
+                                                      dense_grouped=dg)
+            out[f"ego_step_{tag}_ms"] = round(t_step * 1e3, 2)
+            out[f"ego_step_{tag}_sps"] = round(sps, 1)
+        except Exception as e:
+            out[f"ego_step_{tag}_error"] = f"{type(e).__name__}: {e}"[:150]
     print(json.dumps(out))
 
 

@@ -41,6 +41,15 @@ def test_search_found_round_trip(data, tmp_path):
              "--annotation", os.path.basename(ann),
              "--search_exp_dir", exps[0]] + TINY)
         assert np.isfinite(acc)
+
+        # --dense_grouped_convs is an execution-plan change only: the found
+        # retrain must reproduce the grouped run's accuracy from the same
+        # seed (same params, same math — block-diagonal dense kernels)
+        acc_dense = main_found(
+            ["--datadir", root, "--checkpointdir", os.path.dirname(ann),
+             "--annotation", os.path.basename(ann),
+             "--search_exp_dir", exps[0], "--dense_grouped_convs"] + TINY)
+        np.testing.assert_allclose(acc_dense, acc, rtol=1e-6)
     finally:
         os.chdir(cwd)
 

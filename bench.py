@@ -474,6 +474,29 @@ def recorded_search(task):
         return {}
 
 
+def recorded_pool_compare():
+    """Measured NTU train-frame-pool vs streaming epoch times, recorded by
+    benchmarks/record_pool_compare.py from the two pool-fit-corpus runs."""
+    import os
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "benchmarks", "ntu_pool_vs_stream.json")
+    try:
+        with open(path) as f:
+            rec = json.load(f)
+        out = {"ntu_pool_minutes_per_epoch":
+               rec["pool"]["steady_minutes_per_epoch"],
+               "ntu_stream_minutes_per_epoch":
+               rec["stream"]["steady_minutes_per_epoch"],
+               "ntu_pool_note": rec.get("note", "")[:300]}
+        if rec.get("epoch_speedup"):
+            out["ntu_pool_epoch_speedup"] = rec["epoch_speedup"]
+        if "same_genotype" in rec:
+            out["ntu_pool_same_genotype"] = rec["same_genotype"]
+        return out
+    except Exception:
+        return {}
+
+
 def main():
     t_w32, t_a32, w_flops32 = measure(jnp.float32)
     sps32, search32 = project(t_w32, t_a32)
@@ -540,6 +563,7 @@ def main():
         **ego_detail,
         **recorded_search("ntu"),
         **recorded_search("ego"),
+        **recorded_pool_compare(),
         "device": str(jax.devices()[0]),
     }
     detail.update(history_deltas(best, detail))

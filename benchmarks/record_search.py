@@ -22,6 +22,21 @@ WORKLOADS = {
 }
 
 
+def steady_epoch_minutes(log):
+    """Mean wall minutes per epoch from the inter-'Epoch: N' log-timestamp
+    gaps, skipping the first gap (epoch 0 carries compile + data-index build
+    + cache/pool upload)."""
+    times = [t for t, _ in re.findall(
+        r"(\d+/\d+ \d+:\d+:\d+ [AP]M) (Epoch: \d+|Searching complete)", log)]
+    if len(times) < 3:
+        return None
+    stamps = [datetime.datetime.strptime("2026/" + t, "2026/%m/%d %I:%M:%S %p")
+              for t in times]
+    gaps = [(b - a).total_seconds() / 60.0
+            for a, b in zip(stamps[1:-1], stamps[2:])]
+    return round(sum(gaps) / len(gaps), 1)
+
+
 def main(exp_dir, task=None):
     if task is None:
         for t in WORKLOADS:
@@ -46,17 +61,7 @@ def main(exp_dir, task=None):
     spd = re.search(r"steps_per_dispatch=(\d+)", args_m.group(1)).group(1)
     if spd != "1":
         flags.append(f"--steps_per_dispatch {spd}")
-    # steady-state per-epoch wall from the inter-'Epoch: N' log gaps
-    times = [t for t, _ in re.findall(
-        r"(\d+/\d+ \d+:\d+:\d+ [AP]M) (Epoch: \d+|Searching complete)", log)]
-    per_epoch = None
-    if len(times) >= 3:
-        stamps = [datetime.datetime.strptime("2026/" + t,
-                                             "2026/%m/%d %I:%M:%S %p")
-                  for t in times]
-        gaps = [(b - a).total_seconds() / 60.0
-                for a, b in zip(stamps[1:-1], stamps[2:])]
-        per_epoch = round(sum(gaps) / len(gaps), 1)
+    per_epoch = steady_epoch_minutes(log)
     rec = {
         "wall_minutes": round(minutes, 1),
         "epochs": int(epochs),

@@ -69,6 +69,13 @@ step poolfit_pool 5400 python main_darts_searchable_ntu.py \
 step poolfit_stream 7200 python main_darts_searchable_ntu.py \
   "${NTU_FLAGS[@]}" --device_cache_budget_gb 2.5 --save POOLFITSTREAM
 
+POOL_EXP=$(ls -dt final_exp/ntu/search-POOLFITPOOL-* 2>/dev/null | head -1)
+STREAM_EXP=$(ls -dt final_exp/ntu/search-POOLFITSTREAM-* 2>/dev/null | head -1)
+if [ -n "${POOL_EXP:-}" ] && [ -n "${STREAM_EXP:-}" ]; then
+  step record_pool 300 python benchmarks/record_pool_compare.py \
+    "$POOL_EXP" "$STREAM_EXP"
+fi
+
 # 5. grouped-vs-dense conv probe decides the ego run's execution plan
 step grouped_probe 2400 python benchmarks/grouped_conv_probe.py
 

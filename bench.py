@@ -8,9 +8,12 @@ workload scale (batch 8, C=192, L=16, VGG-19 image backbone, 160x256 images
 full 30-epoch search (1944 weight batches + 326 arch batches per epoch), and
 reports samples/sec.
 
-Both the default fp32 path and the --bf16_backbone path are measured; the
-faster one (empirically bf16 by ~15% at this scale) is the headline, the
-other goes into the detail dict.
+Both the default fp32 path and the --bf16_backbone path are measured, each
+two ways: per-step (one device dispatch per batch — dominated at batch 8 by
+~1ms of host pytree dispatch on this 1-core host) and scanned (k=8 steps per
+dispatch via weight_step_many — the CLIs' --steps_per_dispatch production
+path, used by every measured full-scale search). The headline is the fastest
+scanned rate; all four go into the detail dict.
 
 vs_baseline compares against the north-star rate: full search in <= 1 hour
 (BASELINE.md), i.e. 30*(15552+2608)/3600 = 151.3 samples/s for the whole
@@ -140,7 +143,7 @@ def make_batch(seed):
     }
 
 
-def measure(backbone_dtype):
+def measure(backbone_dtype, iters=300, warm=20, scan_iters=40, scan_warm=5):
     from bmnas_tpu.models.mmimdb import (
         MMIMDB_FROZEN_PREFIXES,
         SearchableImageTextNet,
@@ -198,7 +201,7 @@ def measure(backbone_dtype):
     #     on float(counts['loss_sum']);
     #   * the steps donate their state: thread one continuous chain and
     #     never reuse a passed-in state.
-    def timeit(fn_call, s, iters=300, warm=20):
+    def timeit(fn_call, s, iters=iters, warm=warm):
         for i in range(warm):
             s, c = fn_call(s, batches[i % 4])
         float(c["loss_sum"])            # drain queue (incl. compile sync)
@@ -214,7 +217,38 @@ def measure(backbone_dtype):
     w_step, w_flops = aot_step(fns.weight_step, state, batches[0], eta)
     t_w, state = timeit(lambda s, b: w_step(s, b, eta), state)
     t_a, state = timeit(lambda s, b: fns.arch_step(s, b), state)
-    return t_w, t_a, w_flops
+
+    # Production dispatch path: the search CLIs run --steps_per_dispatch 8
+    # (one lax.scan dispatch = 8 sequential steps; the measured full-scale
+    # searches all use it). At batch 8 a single step costs ~2 ms of device
+    # work but >1 ms of host pytree dispatch on this 1-core host, so the
+    # per-step rows above are substantially dispatch-bound; the scanned rows
+    # are the rate the production loop actually sustains.
+    K = 8
+
+    def stack(bs):
+        return {k: jnp.stack([b[k] for b in bs]) for k in bs[0]}
+
+    sbatches = [stack([make_batch(100 + i * K + j) for j in range(K)])
+                for i in range(2)]
+    etas = jnp.full((K,), eta, jnp.float32)
+    wm_step, wm_flops = aot_step(fns.weight_step_many, state, sbatches[0],
+                                 etas)
+
+    def timeit_many(fn_call, s, iters=scan_iters, warm=scan_warm):
+        for i in range(warm):
+            s, c = fn_call(s, sbatches[i % 2])
+        float(c["loss_sum"])
+        t0 = time.perf_counter()
+        for i in range(iters):
+            s, c = fn_call(s, sbatches[i % 2])
+        float(c["loss_sum"])
+        return (time.perf_counter() - t0) / iters, s
+
+    t_wm, state = timeit_many(lambda s, b: wm_step(s, b, etas), state)
+    t_am, state = timeit_many(lambda s, b: fns.arch_step_many(s, b), state)
+    return {"t_w": t_w, "t_a": t_a, "w_flops": w_flops,
+            "t_wm": t_wm, "t_am": t_am, "wm_flops": wm_flops, "K": K}
 
 
 def project(t_w, t_a):
@@ -497,11 +531,39 @@ def recorded_pool_compare():
         return {}
 
 
+def project_scan(t_wm, t_am, k):
+    """Per-epoch wall when every k steps share one dispatch (the CLIs'
+    --steps_per_dispatch path; tail chunks are rounded up to whole
+    dispatches, matching loop.py's chunking)."""
+    w_dispatches = -(-(-(-TRAIN_N // BATCH)) // k)
+    a_dispatches = -(-(-(-DEV_N // BATCH)) // k)
+    epoch_time = w_dispatches * t_wm + a_dispatches * t_am
+    return (TRAIN_N + DEV_N) / epoch_time, EPOCHS * epoch_time
+
+
+def scan_rows(tag, m):
+    k = m["K"]
+    sps, search = project_scan(m["t_wm"], m["t_am"], k)
+    return sps, {
+        f"{tag}_scan{k}_samples_per_sec": round(sps, 2),
+        f"{tag}_scan{k}_weight_dispatch_ms": round(m["t_wm"] * 1e3, 2),
+        f"{tag}_scan{k}_arch_dispatch_ms": round(m["t_am"] * 1e3, 2),
+        f"{tag}_scan{k}_projected_search_minutes": round(search / 60.0, 1),
+        f"{tag}_scan{k}_mfu": mfu(m["wm_flops"], m["t_wm"]),
+        f"{tag}_scan{k}_achieved_tflops": achieved_tflops(m["wm_flops"],
+                                                          m["t_wm"]),
+    }
+
+
 def main():
-    t_w32, t_a32, w_flops32 = measure(jnp.float32)
+    m32 = measure(jnp.float32)
+    t_w32, t_a32, w_flops32 = m32["t_w"], m32["t_a"], m32["w_flops"]
     sps32, search32 = project(t_w32, t_a32)
-    t_w16, t_a16, w_flops16 = measure(jnp.bfloat16)
+    scan_sps32, scan32_rows = scan_rows("fp32", m32)
+    m16 = measure(jnp.bfloat16)
+    t_w16, t_a16, w_flops16 = m16["t_w"], m16["t_a"], m16["w_flops"]
     sps16, search16 = project(t_w16, t_a16)
+    scan_sps16, scan16_rows = scan_rows("bf16", m16)
     try:
         ntu_sps, ntu_step, ntu_flops = measure_ntu_found()
         ntu_detail = {
@@ -540,8 +602,14 @@ def main():
     except Exception as e:
         ego_detail["ego_found_error"] = f"{type(e).__name__}: {e}"[:200]
     required_rate = EPOCHS * (TRAIN_N + DEV_N) / TARGET_SECONDS
-    best = max(sps32, sps16)
+    # Headline = the production dispatch path (--steps_per_dispatch 8, the
+    # config every measured full-scale search runs); the per-step rows keep
+    # r01-r03 comparability and expose the host-dispatch overhead the scan
+    # amortizes.
+    best = max(scan_sps32, scan_sps16, sps32, sps16)
     detail = {
+        **scan32_rows,
+        **scan16_rows,
         "fp32_samples_per_sec": round(sps32, 2),
         "fp32_weight_step_ms": round(t_w32 * 1e3, 2),
         "fp32_arch_step_ms": round(t_a32 * 1e3, 2),

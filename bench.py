@@ -555,7 +555,47 @@ def scan_rows(tag, m):
     }
 
 
+def devices_or_die(timeout_s=600):
+    """The relay's failure mode is jax.devices() hanging FOREVER (observed
+    15+ h in round 4), which would leave the driver's bench run with no
+    artifact at all. Probe device init under a watchdog; on timeout/error,
+    emit a well-formed JSON line that says exactly why there is no number,
+    then exit hard (the hung C call cannot be interrupted politely)."""
+    import os
+    import sys
+    import threading
+    result = []
+    done = threading.Event()
+
+    def probe():
+        try:
+            result.append(jax.devices())
+        except Exception as e:  # noqa: BLE001 — report any init failure
+            result.append(e)
+        done.set()
+
+    threading.Thread(target=probe, daemon=True).start()
+    if not done.wait(timeout_s) or not result or isinstance(result[0],
+                                                            Exception):
+        why = ("device init timed out after %ds" % timeout_s if not result
+               else f"{type(result[0]).__name__}: {result[0]}"[:200])
+        print(json.dumps({
+            "metric": "mmimdb_search_throughput",
+            "value": 0,
+            "unit": "samples/s",
+            "vs_baseline": 0,
+            "detail": {"error": f"TPU unavailable: {why}",
+                       "note": "relay outage — see benchmarks/"
+                               "ROUND4_STATUS.md; staged queue: "
+                               "benchmarks/tpu_queue.sh"},
+        }))
+        sys.stdout.flush()
+        os._exit(1)
+    return result[0]
+
+
 def main():
+    devices_or_die()
     m32 = measure(jnp.float32)
     t_w32, t_a32, w_flops32 = m32["t_w"], m32["t_a"], m32["w_flops"]
     sps32, search32 = project(t_w32, t_a32)

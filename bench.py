@@ -201,22 +201,30 @@ def measure(backbone_dtype, iters=300, warm=20, scan_iters=40, scan_warm=5):
     #     on float(counts['loss_sum']);
     #   * the steps donate their state: thread one continuous chain and
     #     never reuse a passed-in state.
-    def timeit(fn_call, s, iters=iters, warm=warm):
+    def timeit(fn_call, s, iters=iters, warm=warm, reps=3):
+        """Median of `reps` independent chains + (min, max) spread.
+
+        One chain per rep, scalar-fetch-synced; the spread is the in-run
+        noise indicator — BENCH_r03's 2x bf16 'regression' was a single
+        polluted reading, invisible because only one chain was timed."""
         for i in range(warm):
             s, c = fn_call(s, batches[i % 4])
         float(c["loss_sum"])            # drain queue (incl. compile sync)
-        t0 = time.perf_counter()
-        for i in range(iters):
-            s, c = fn_call(s, batches[i % 4])
-        float(c["loss_sum"])
-        # with >=300 steps per chain the tunnel RTT jitter (tens of ms)
-        # amortizes below ~2%; no RTT subtraction needed
-        per = (time.perf_counter() - t0) / iters
-        return per, s
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            for i in range(iters):
+                s, c = fn_call(s, batches[i % 4])
+            float(c["loss_sum"])
+            # with >=300 steps per chain the tunnel RTT jitter (tens of
+            # ms) amortizes below ~2%; no RTT subtraction needed
+            times.append((time.perf_counter() - t0) / iters)
+        times.sort()
+        return times[len(times) // 2], s, (times[0], times[-1])
 
     w_step, w_flops = aot_step(fns.weight_step, state, batches[0], eta)
-    t_w, state = timeit(lambda s, b: w_step(s, b, eta), state)
-    t_a, state = timeit(lambda s, b: fns.arch_step(s, b), state)
+    t_w, state, sp_w = timeit(lambda s, b: w_step(s, b, eta), state)
+    t_a, state, _ = timeit(lambda s, b: fns.arch_step(s, b), state)
 
     # Production dispatch path: the search CLIs run --steps_per_dispatch 8
     # (one lax.scan dispatch = 8 sequential steps; the measured full-scale
@@ -235,20 +243,44 @@ def measure(backbone_dtype, iters=300, warm=20, scan_iters=40, scan_warm=5):
     wm_step, wm_flops = aot_step(fns.weight_step_many, state, sbatches[0],
                                  etas)
 
-    def timeit_many(fn_call, s, iters=scan_iters, warm=scan_warm):
+    def timeit_many(fn_call, s, iters=scan_iters, warm=scan_warm, reps=3):
         for i in range(warm):
             s, c = fn_call(s, sbatches[i % 2])
         float(c["loss_sum"])
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            for i in range(iters):
+                s, c = fn_call(s, sbatches[i % 2])
+            float(c["loss_sum"])
+            times.append((time.perf_counter() - t0) / iters)
+        times.sort()
+        return times[len(times) // 2], s, (times[0], times[-1])
+
+    t_wm, state, sp_wm = timeit_many(lambda s, b: wm_step(s, b, etas), state)
+    t_am, state, _ = timeit_many(lambda s, b: fns.arch_step_many(s, b), state)
+    return {"t_w": t_w, "t_a": t_a, "w_flops": w_flops, "sp_w": sp_w,
+            "t_wm": t_wm, "t_am": t_am, "wm_flops": wm_flops, "K": K,
+            "sp_wm": sp_wm}
+
+
+def chain_time(step, s, batches, eta, iters, warm, reps=2):
+    """Median per-step time over `reps` scalar-synced chains + (min, max).
+
+    Shared by the video-step measurements; see measure().timeit for why
+    repeated chains (single readings can be relay-load-polluted)."""
+    for i in range(warm):
+        s, c = step(s, batches[i % 2], eta)
+    float(c["loss_sum"])
+    times = []
+    for _ in range(reps):
         t0 = time.perf_counter()
         for i in range(iters):
-            s, c = fn_call(s, sbatches[i % 2])
+            s, c = step(s, batches[i % 2], eta)
         float(c["loss_sum"])
-        return (time.perf_counter() - t0) / iters, s
-
-    t_wm, state = timeit_many(lambda s, b: wm_step(s, b, etas), state)
-    t_am, state = timeit_many(lambda s, b: fns.arch_step_many(s, b), state)
-    return {"t_w": t_w, "t_a": t_a, "w_flops": w_flops,
-            "t_wm": t_wm, "t_am": t_am, "wm_flops": wm_flops, "K": K}
+        times.append((time.perf_counter() - t0) / iters)
+    times.sort()
+    return times[len(times) // 2], (times[0], times[-1])
 
 
 def project(t_w, t_a):
@@ -321,16 +353,8 @@ def measure_ntu_found(batch=48, iters=60, warm=8):
     eta = np.float32(1e-3)
     batches = [mk(i) for i in range(2)]
     w_step, flops = aot_step(fns.weight_step, state, batches[0], eta)
-    s = state
-    for i in range(warm):
-        s, c = w_step(s, batches[i % 2], eta)
-    float(c["loss_sum"])
-    t0 = time.perf_counter()
-    for i in range(iters):
-        s, c = w_step(s, batches[i % 2], eta)
-    float(c["loss_sum"])
-    t_step = (time.perf_counter() - t0) / iters
-    return batch / t_step, t_step, flops
+    t_step, spread = chain_time(w_step, state, batches, eta, iters, warm)
+    return batch / t_step, t_step, flops, spread
 
 
 def measure_ego_search(batch=96, iters=60, warm=8, dense_grouped=False):
@@ -395,16 +419,8 @@ def measure_ego_search(batch=96, iters=60, warm=8, dense_grouped=False):
     eta = np.float32(3e-3)
     batches = [mk(i) for i in range(2)]
     w_step, flops = aot_step(fns.weight_step, state, batches[0], eta)
-    s = state
-    for i in range(warm):
-        s, c = w_step(s, batches[i % 2], eta)
-    float(c["loss_sum"])
-    t0 = time.perf_counter()
-    for i in range(iters):
-        s, c = w_step(s, batches[i % 2], eta)
-    float(c["loss_sum"])
-    t_step = (time.perf_counter() - t0) / iters
-    return batch / t_step, t_step, flops
+    t_step, spread = chain_time(w_step, state, batches, eta, iters, warm)
+    return batch / t_step, t_step, flops, spread
 
 
 def measure_ego_found(batch=96, iters=40, warm=6):
@@ -473,16 +489,8 @@ def measure_ego_found(batch=96, iters=40, warm=6):
     eta = np.float32(1e-3)
     batches = [mk(i) for i in range(2)]
     w_step, flops = aot_step(fns.weight_step, state, batches[0], eta)
-    s = state
-    for i in range(warm):
-        s, c = w_step(s, batches[i % 2], eta)
-    float(c["loss_sum"])
-    t0 = time.perf_counter()
-    for i in range(iters):
-        s, c = w_step(s, batches[i % 2], eta)
-    float(c["loss_sum"])
-    t_step = (time.perf_counter() - t0) / iters
-    return batch / t_step, t_step, flops
+    t_step, spread = chain_time(w_step, state, batches, eta, iters, warm)
+    return batch / t_step, t_step, flops, spread
 
 
 def recorded_search(task):
@@ -547,6 +555,8 @@ def scan_rows(tag, m):
     return sps, {
         f"{tag}_scan{k}_samples_per_sec": round(sps, 2),
         f"{tag}_scan{k}_weight_dispatch_ms": round(m["t_wm"] * 1e3, 2),
+        f"{tag}_scan{k}_weight_dispatch_ms_range": [
+            round(t * 1e3, 2) for t in m["sp_wm"]],
         f"{tag}_scan{k}_arch_dispatch_ms": round(m["t_am"] * 1e3, 2),
         f"{tag}_scan{k}_projected_search_minutes": round(search / 60.0, 1),
         f"{tag}_scan{k}_mfu": mfu(m["wm_flops"], m["t_wm"]),
@@ -605,10 +615,11 @@ def main():
     sps16, search16 = project(t_w16, t_a16)
     scan_sps16, scan16_rows = scan_rows("bf16", m16)
     try:
-        ntu_sps, ntu_step, ntu_flops = measure_ntu_found()
+        ntu_sps, ntu_step, ntu_flops, ntu_sp = measure_ntu_found()
         ntu_detail = {
             "ntu_found_samples_per_sec": round(ntu_sps, 2),
             "ntu_found_step_ms": round(ntu_step * 1e3, 2),
+            "ntu_found_step_ms_range": [round(t * 1e3, 2) for t in ntu_sp],
             "ntu_found_batch": 48,
             "ntu_found_mfu": mfu(ntu_flops, ntu_step),
             "ntu_found_achieved_tflops": achieved_tflops(ntu_flops, ntu_step),
@@ -620,10 +631,11 @@ def main():
     except Exception as e:  # keep the headline artifact robust
         ntu_detail = {"ntu_found_error": f"{type(e).__name__}: {e}"[:200]}
     try:
-        ego_sps, ego_step, ego_flops = measure_ego_search()
+        ego_sps, ego_step, ego_flops, ego_sp = measure_ego_search()
         ego_detail = {
             "ego_search_samples_per_sec": round(ego_sps, 2),
             "ego_search_step_ms": round(ego_step * 1e3, 2),
+            "ego_search_step_ms_range": [round(t * 1e3, 2) for t in ego_sp],
             "ego_search_batch": 96,
             "ego_search_mfu": mfu(ego_flops, ego_step),
             "ego_search_achieved_tflops": achieved_tflops(ego_flops, ego_step),
@@ -631,10 +643,11 @@ def main():
     except Exception as e:
         ego_detail = {"ego_search_error": f"{type(e).__name__}: {e}"[:200]}
     try:
-        egf_sps, egf_step, egf_flops = measure_ego_found()
+        egf_sps, egf_step, egf_flops, egf_sp = measure_ego_found()
         ego_detail.update({
             "ego_found_samples_per_sec": round(egf_sps, 2),
             "ego_found_step_ms": round(egf_step * 1e3, 2),
+            "ego_found_step_ms_range": [round(t * 1e3, 2) for t in egf_sp],
             "ego_found_batch": 96,
             "ego_found_mfu": mfu(egf_flops, egf_step),
             "ego_found_achieved_tflops": achieved_tflops(egf_flops, egf_step),
@@ -652,12 +665,16 @@ def main():
         **scan16_rows,
         "fp32_samples_per_sec": round(sps32, 2),
         "fp32_weight_step_ms": round(t_w32 * 1e3, 2),
+        "fp32_weight_step_ms_range": [round(t * 1e3, 2)
+                                      for t in m32["sp_w"]],
         "fp32_arch_step_ms": round(t_a32 * 1e3, 2),
         "fp32_projected_search_minutes": round(search32 / 60.0, 1),
         "fp32_weight_step_mfu": mfu(w_flops32, t_w32),
         "fp32_achieved_tflops": achieved_tflops(w_flops32, t_w32),
         "bf16_samples_per_sec": round(sps16, 2),
         "bf16_weight_step_ms": round(t_w16 * 1e3, 2),
+        "bf16_weight_step_ms_range": [round(t * 1e3, 2)
+                                      for t in m16["sp_w"]],
         "bf16_arch_step_ms": round(t_a16 * 1e3, 2),
         "bf16_projected_search_minutes": round(search16 / 60.0, 1),
         "bf16_weight_step_mfu": mfu(w_flops16, t_w16),
@@ -674,6 +691,25 @@ def main():
         **recorded_pool_compare(),
         "device": str(jax.devices()[0]),
     }
+    # in-run noise indicator: worst relative spread across the repeated
+    # chains; > 15% means the relay/host was loaded during measurement and
+    # the medians should be read with that caveat (the r03 artifact had no
+    # such signal, which is how a polluted reading shipped as a regression)
+    rels = []
+    for key, t_med in (("fp32_weight_step_ms_range", t_w32),
+                       ("bf16_weight_step_ms_range", t_w16)):
+        lo, hi = detail[key]
+        rels.append((hi - lo) / (t_med * 1e3))
+    for key in ("ntu_found", "ego_search", "ego_found"):
+        rng = detail.get(f"{key}_step_ms_range")
+        med = detail.get(f"{key}_step_ms")
+        if rng and med:
+            rels.append((rng[1] - rng[0]) / med)
+    detail["measurement_noise_max_rel"] = round(max(rels), 3)
+    if max(rels) > 0.15:
+        detail["measurement_noise_note"] = (
+            "spread across repeated chains exceeds 15% - relay/host load "
+            "during this run; treat medians with caution")
     detail.update(history_deltas(best, detail))
     print(json.dumps({
         "metric": "mmimdb_search_throughput",

@@ -99,7 +99,7 @@ def main():
     import bench
     for tag, dg in (("grouped", False), ("dense", True)):
         try:
-            sps, t_step, _ = bench.measure_ego_search(iters=30, warm=5,
+            sps, t_step, *_ = bench.measure_ego_search(iters=30, warm=5,
                                                       dense_grouped=dg)
             out[f"ego_step_{tag}_ms"] = round(t_step * 1e3, 2)
             out[f"ego_step_{tag}_sps"] = round(sps, 1)

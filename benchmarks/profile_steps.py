@@ -36,12 +36,12 @@ def run_workload(name, steps):
         eta = np.float32(1e-3)
         step = lambda s, i: fns.weight_step(s, batches[i % 2], eta)  # noqa: E731
     elif name == "ntu_found":
-        sps, t_step, _ = bench.measure_ntu_found(iters=2, warm=2)
+        sps, t_step, *_ = bench.measure_ntu_found(iters=2, warm=2)
         print(f"# warmup measure: {sps:.1f} samples/s")
         # re-enter with a fresh chain for the traced portion
         return run_traced_ntu(steps)
     elif name == "ego_search":
-        sps, t_step, _ = bench.measure_ego_search(iters=2, warm=2)
+        sps, t_step, *_ = bench.measure_ego_search(iters=2, warm=2)
         print(f"# warmup measure: {sps:.1f} samples/s")
         return run_traced_ego(steps)
     else:

@@ -290,7 +290,7 @@ def project(t_w, t_a):
     return (TRAIN_N + DEV_N) / epoch_time, EPOCHS * epoch_time
 
 
-def measure_ntu_found(batch=48, iters=60, warm=8):
+def measure_ntu_found(batch=48, iters=60, warm=8, remat=True):
     """NTU found-phase weight step at reference shape: the heaviest workload
     the reference ships (main_darts_found_ntu.py:122-139 — training the WHOLE
     net incl. the inflated-3D ResNet-50 and HCN backbones; clips (B,8,256,
@@ -316,7 +316,7 @@ def measure_ntu_found(batch=48, iters=60, warm=8):
                StepGenotype([("skip", 1), ("skip", 0)], ["LinearGLU"], [2])],
         concat=[8, 9])
     model = FoundSkeletonImageNet.from_genotype(
-        geno, remat=True, backbone_dtype=jnp.bfloat16, C=128, L=8, steps=2,
+        geno, remat=remat, backbone_dtype=jnp.bfloat16, C=128, L=8, steps=2,
         multiplier=2, node_steps=1, node_multiplier=1, num_input_nodes=8,
         num_keep_edges=2, num_outputs=60, drpt=0.0)
 
@@ -539,6 +539,30 @@ def recorded_pool_compare():
         return {}
 
 
+def recorded_remat_probe():
+    """ntu_remat_probe.py's verdict (does batch-48 NTU found need remat?),
+    folded into the detail so the artifact carries the supported config."""
+    import os
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "benchmarks", "ntu_remat_probe.json")
+    try:
+        with open(path) as f:
+            rec = json.load(f)
+        out = {}
+        for name in ("noremat_b48", "noremat_b32"):
+            row = rec.get(name, {})
+            if "samples_per_sec" in row:
+                out[f"ntu_found_{name}_samples_per_sec"] = \
+                    row["samples_per_sec"]
+            elif "error" in row:
+                out[f"ntu_found_{name}_error"] = row["error"][:120]
+        if rec.get("noremat_speedup"):
+            out["ntu_found_noremat_speedup"] = rec["noremat_speedup"]
+        return out
+    except Exception:
+        return {}
+
+
 def project_scan(t_wm, t_am, k):
     """Per-epoch wall when every k steps share one dispatch (the CLIs'
     --steps_per_dispatch path; tail chunks are rounded up to whole
@@ -689,6 +713,7 @@ def main():
         **recorded_search("ntu"),
         **recorded_search("ego"),
         **recorded_pool_compare(),
+        **recorded_remat_probe(),
         "device": str(jax.devices()[0]),
     }
     # in-run noise indicator: worst relative spread across the repeated

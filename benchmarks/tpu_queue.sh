@@ -15,6 +15,7 @@
 #   3. poolfit_pool       (#2)  NTU search, train frame pool resident in HBM
 #   4. poolfit_stream     (#2)  same corpus/flags, train split streaming
 #   5. grouped_probe      (#4)  ResNeXt grouped-vs-dense conv decision data
+#   5b. ntu_remat_probe   (#4)  is remat even needed at NTU found batch 48?
 #   6. ego_fullscale      (#3)  measured EgoGesture-scale search wall-clock
 #   7. profile_{ego,ntu}  (#4)  xplane top-op analyses of the video steps
 #   8. bench_post         (#1)  bench.py again, folding the recorded searches
@@ -78,6 +79,10 @@ fi
 
 # 5. grouped-vs-dense conv probe decides the ego run's execution plan
 step grouped_probe 2400 python benchmarks/grouped_conv_probe.py
+
+# 5b. does batch-48 NTU found even need remat? (ROOFLINE.md finding 4:
+# block remat bakes ~+33% forward recompute into the 480 ms step)
+step ntu_remat_probe 3600 python benchmarks/ntu_remat_probe.py
 
 DENSE_FLAG=()
 if [ -f "$STATE/grouped_probe.done" ]; then

@@ -30,7 +30,10 @@ def test_found_net_fits_synthetic_rule():
     text = rng.randn(b, 300).astype(np.float32)
     labels = (text[:, :4 * 64].reshape(b, 4, 64).mean(-1) > 0).astype(np.float32)
     batch = {
-        "image": jnp.asarray(rng.randn(b, 32, 32, 3).astype(np.float32)),
+        # the rule is text-only; the image input is pure noise, so 16x16
+        # keeps the check identical while cutting the VGG FLOPs 4x (this
+        # test dominated the suite wall at 32x32: 451s -> ~116s)
+        "image": jnp.asarray(rng.randn(b, 16, 16, 3).astype(np.float32)),
         "text": jnp.asarray(text),
         "label": jnp.asarray(labels),
         "mask": jnp.ones((b,), np.float32),

@@ -16,7 +16,9 @@ import os
 import re
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _HERE)
+sys.path.insert(0, os.path.dirname(_HERE))  # repo root: bmnas_tpu imports
 from record_search import steady_epoch_minutes  # noqa: E402
 
 
@@ -30,16 +32,20 @@ def describe(exp_dir):
     m = re.search(r"device frame pool \[train\]: (\d+ samples[^\n]*)", log)
     rec["frame_pool"] = m.group(1) if m else "streaming"
     try:
-        import pickle
-        with open(os.path.join(exp_dir, "best", "best_genotype.pkl"),
-                  "rb") as f:
-            rec["genotype"] = repr(pickle.load(f))[:400]
-    except Exception:
-        pass
+        # NOT plain pickle.load: the pickles carry the reference's
+        # models.search.darts.genotypes class paths, which only resolve
+        # through the shim load_genotype registers (verified: plain load
+        # raises ModuleNotFoundError and would silently drop the
+        # same_genotype evidence)
+        from bmnas_tpu.genotype import load_genotype
+        rec["genotype"] = repr(load_genotype(
+            os.path.join(exp_dir, "best", "best_genotype.pkl")))[:400]
+    except Exception as e:
+        rec["genotype_error"] = f"{type(e).__name__}: {e}"[:120]
     return rec
 
 
-def main(pool_dir, stream_dir):
+def main(pool_dir, stream_dir, out_dir=None):
     pool, stream = describe(pool_dir), describe(stream_dir)
     out = {"pool": pool, "stream": stream}
     p, s = pool["steady_minutes_per_epoch"], stream["steady_minutes_per_epoch"]
@@ -51,11 +57,12 @@ def main(pool_dir, stream_dir):
                    "shape samples): train decoded-frame pool resident in HBM "
                    "+ per-epoch on-device frame-index gather, vs the same "
                    "run streaming the train split each epoch")
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+    path = os.path.join(out_dir or os.path.dirname(os.path.abspath(__file__)),
                         "ntu_pool_vs_stream.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
+    return out
 
 
 if __name__ == "__main__":

@@ -37,7 +37,7 @@ def steady_epoch_minutes(log):
     return round(sum(gaps) / len(gaps), 1)
 
 
-def main(exp_dir, task=None):
+def main(exp_dir, task=None, out_dir=None):
     if task is None:
         for t in WORKLOADS:
             if f"/{t}/" in exp_dir or f"exp/{t}" in exp_dir:
@@ -72,11 +72,12 @@ def main(exp_dir, task=None):
                  "; wall includes data-index build and compile"),
         "exp_dir": os.path.basename(exp_dir.rstrip("/")),
     }
-    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+    out = os.path.join(out_dir or os.path.dirname(os.path.abspath(__file__)),
                        f"{task}_fullscale_search.json")
     with open(out, "w") as f:
         json.dump(rec, f, indent=1)
     print(json.dumps(rec))
+    return rec
 
 
 if __name__ == "__main__":

@@ -613,15 +613,35 @@ def devices_or_die(timeout_s=600):
                                                             Exception):
         why = ("device init timed out after %ds" % timeout_s if not result
                else f"{type(result[0]).__name__}: {result[0]}"[:200])
+        detail = {"error": f"TPU unavailable: {why}",
+                  "note": "relay outage — see benchmarks/ROUND4_STATUS.md; "
+                          "staged queue: benchmarks/tpu_queue.sh"}
+        # make the outage artifact informative: last measured round + the
+        # chip-free static ceilings (benchmarks/ROOFLINE.md)
+        prev, name = load_prev_bench()
+        if prev:
+            detail["last_measured"] = {
+                "artifact": name, "value": prev.get("value"),
+                "vs_baseline": prev.get("vs_baseline"),
+                **{k: v for k, v in prev.get("detail", {}).items()
+                   if k.endswith("samples_per_sec")}}
+        try:
+            with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "benchmarks", "roofline.json")) as f:
+                rl = json.load(f)
+            detail["static_ceilings"] = {
+                k: {"predicted_max_samples_per_sec":
+                    v["predicted_max_samples_per_sec"],
+                    "predicted_mfu_ceiling": v["predicted_mfu_ceiling"]}
+                for k, v in rl.items()}
+        except Exception:
+            pass
         print(json.dumps({
             "metric": "mmimdb_search_throughput",
             "value": 0,
             "unit": "samples/s",
             "vs_baseline": 0,
-            "detail": {"error": f"TPU unavailable: {why}",
-                       "note": "relay outage — see benchmarks/"
-                               "ROUND4_STATUS.md; staged queue: "
-                               "benchmarks/tpu_queue.sh"},
+            "detail": detail,
         }))
         sys.stdout.flush()
         os._exit(1)

@@ -109,14 +109,23 @@ def main_serve(argv=None):
     top = argparse.ArgumentParser(description="BM-NAS found-net serving")
     top.add_argument("--task", choices=["mmimdb", "ntu", "ego"],
                      required=True)
-    top.add_argument("--eval_exp_dir", required=True,
-                     help="experiment dir with best/{*genotype.pkl,*model.pt}")
+    top.add_argument("--eval_exp_dir", default=None,
+                     help="experiment dir with best/{*genotype.pkl,*model.pt}"
+                          " (required unless --from_export)")
     top.add_argument("--model", default=None,
                      help="explicit snapshot path (default: best/ lookup)")
     top.add_argument("--split", default="test",
                      help="dataset split/stage to serve")
     top.add_argument("--bf16", action="store_true",
                      help="serve with bfloat16 weights/activations")
+    top.add_argument("--export", default=None, metavar="PATH",
+                     help="write a self-contained jax.export artifact "
+                          "(StableHLO + baked weights, cpu+tpu) instead of "
+                          "serving; verified against the live server on one "
+                          "batch before writing")
+    top.add_argument("--from_export", default=None, metavar="PATH",
+                     help="serve from a jax.export artifact instead of "
+                          "building the model from genotype + snapshot")
     args0, rest = top.parse_known_args(argv)
 
     mod = importlib.import_module(f"bmnas_tpu.cli.{args0.task}")
@@ -129,23 +138,55 @@ def main_serve(argv=None):
 
     from bmnas_tpu.cli.common import maybe_parallel
     from bmnas_tpu.genotype import load_genotype
-    from bmnas_tpu.serving import load_server
+    from bmnas_tpu.serving import load_exported, load_server
 
-    geno_path, snap_path = _resolve_artifacts(args0.eval_exp_dir, args0.model)
-    genotype = load_genotype(geno_path)
-    model = _build_task(args0.task, args, genotype)
-    parallel_ctx = maybe_parallel(args)
-    if parallel_ctx is not None:
-        from bmnas_tpu.parallel.mesh import pad_batch_to_multiple
-        args.batchsize = pad_batch_to_multiple(args.batchsize,
-                                               parallel_ctx.num_devices)
-    server = load_server(
-        snap_path, model,
-        dtype=jnp.bfloat16 if args0.bf16 else jnp.float32,
-        parallel_ctx=parallel_ctx,
-        fused=getattr(args, "fused_kernels", False))
+    geno_path = snap_path = None
+    if args0.from_export is not None:
+        server = load_exported(args0.from_export)
+    else:
+        if args0.eval_exp_dir is None:
+            raise SystemExit("--eval_exp_dir is required unless "
+                             "--from_export is given")
+        geno_path, snap_path = _resolve_artifacts(args0.eval_exp_dir,
+                                                  args0.model)
+        genotype = load_genotype(geno_path)
+        model = _build_task(args0.task, args, genotype)
+        parallel_ctx = maybe_parallel(args) if args0.export is None else None
+        if parallel_ctx is not None:
+            from bmnas_tpu.parallel.mesh import pad_batch_to_multiple
+            args.batchsize = pad_batch_to_multiple(args.batchsize,
+                                                   parallel_ctx.num_devices)
+        server = load_server(
+            snap_path, model,
+            dtype=jnp.bfloat16 if args0.bf16 else jnp.float32,
+            parallel_ctx=parallel_ctx,
+            fused=getattr(args, "fused_kernels", False))
 
     dataset = _dataset(args0.task, args, args0.split)
+
+    if args0.export is not None:
+        # one example batch fixes the artifact's (static) batch schema;
+        # verify the artifact reproduces the live server before writing
+        example = next(iter(dataset.batches(args.batchsize, shuffle=False)))
+        blob = server.export_bytes(example)
+        exported = load_exported(blob)
+        live, exp_out = server.predict(example), exported.predict(example)
+        np.testing.assert_allclose(exp_out, live, rtol=2e-5, atol=2e-5)
+        with open(args0.export, "wb") as f:
+            f.write(blob)
+        result = {
+            "metric": "export_artifact_bytes",
+            "value": len(blob),
+            "path": args0.export,
+            "platforms": list(exported.platforms),
+            "batchsize": args.batchsize,
+            "verified_batch_max_abs_diff": float(
+                np.abs(exp_out - live).max()),
+            "genotype": geno_path,
+            "model": snap_path,
+        }
+        print(json.dumps(result))
+        return result
     label_key = "label"
     logits_parts, labels_parts = [], []
     n_total = n_warm = 0
@@ -176,6 +217,7 @@ def main_serve(argv=None):
         "wall_seconds_incl_compile": round(elapsed, 2),
         "genotype": geno_path,
         "model": snap_path,
+        "from_export": args0.from_export,
         "bf16": bool(args0.bf16),
         "fused_kernels": bool(getattr(args, "fused_kernels", False)),
     }

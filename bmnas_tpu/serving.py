@@ -14,7 +14,12 @@ test-only CLI mode). Production-oriented additions here:
     kernel walks the compiled inner DAG; tests/test_kernels.py), off by
     default;
   * fixed batch with mask padding, matching the training data contract;
-  * optional data-parallel serving over a device mesh.
+  * optional data-parallel serving over a device mesh;
+  * ``jax.export`` deployment artifacts: one serialized blob holding the
+    StableHLO graph WITH the trained weights baked in as constants,
+    loadable and callable on cpu/tpu with plain jax — no bmnas_tpu, no
+    model code, no checkpoint files (``FoundNetServer.save_exported`` /
+    ``load_exported``; ``main_serve.py --export/--from_export``).
 """
 from __future__ import annotations
 
@@ -74,6 +79,81 @@ class FoundNetServer:
         """Run an iterator of batches; returns concatenated logits."""
         outs = [self.predict(b) for b in batches]
         return np.concatenate(outs, axis=0)
+
+    def export_bytes(self, example_batch: Dict[str, Any]) -> bytes:
+        """Serialize a self-contained inference artifact.
+
+        The trained variables are closed over, so ``jax.export`` bakes them
+        into the StableHLO module as constants: the returned blob is the
+        whole deployable model. Lowered for BOTH cpu and tpu when possible
+        (the Pallas ``fused`` path is platform-specific, so it falls back
+        to the current platform alone). Batch shapes/dtypes are static —
+        serve fixed batches with mask padding, the training data contract.
+        """
+        from jax import export as jax_export
+
+        if self.parallel_ctx is not None:
+            raise ValueError(
+                "export from a mesh-sharded server is not supported; build "
+                "the server without parallel_ctx to export (the artifact "
+                "itself can then be served data-parallel by the consumer)")
+        variables = self._variables
+        infer = self._infer
+
+        def infer_closed(batch):
+            return infer(variables, batch)
+
+        args = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(np.shape(x),
+                                           jnp.asarray(x).dtype),
+            dict(example_batch))
+        jitted = jax.jit(infer_closed)
+        try:
+            exp = jax_export.export(jitted, platforms=("cpu", "tpu"))(args)
+        except Exception:  # platform-specific lowering (e.g. Pallas kernel)
+            exp = jax_export.export(jitted)(args)
+        return exp.serialize()
+
+    def save_exported(self, path: str,
+                      example_batch: Dict[str, Any]) -> int:
+        """Write the export artifact; returns its size in bytes."""
+        blob = self.export_bytes(example_batch)
+        with open(path, "wb") as f:
+            f.write(blob)
+        return len(blob)
+
+
+class ExportedServer:
+    """Serve from a ``jax.export`` artifact — no model code, no snapshot.
+
+    Mirrors ``FoundNetServer.predict``'s mask-trimming contract so the two
+    are drop-in interchangeable on the serving loop."""
+
+    def __init__(self, blob: bytes):
+        from jax import export as jax_export
+        self._exported = jax_export.deserialize(blob)
+
+    @property
+    def platforms(self):
+        return tuple(self._exported.platforms)
+
+    def predict(self, batch: Dict[str, np.ndarray]) -> np.ndarray:
+        logits = np.asarray(self._exported.call(dict(batch)))
+        if "mask" in batch:
+            n = int(np.asarray(batch["mask"]).sum())
+            return logits[:n]
+        return logits
+
+    def predict_stream(self, batches) -> np.ndarray:
+        return np.concatenate([self.predict(b) for b in batches], axis=0)
+
+
+def load_exported(path_or_bytes) -> ExportedServer:
+    """Rehydrate an exported artifact (path or raw bytes)."""
+    if isinstance(path_or_bytes, (bytes, bytearray)):
+        return ExportedServer(bytes(path_or_bytes))
+    with open(path_or_bytes, "rb") as f:
+        return ExportedServer(f.read())
 
 
 def load_server(snapshot_path: str, model, dtype=jnp.float32,

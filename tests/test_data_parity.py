@@ -252,3 +252,32 @@ class TestEgoUint8DeviceNormalization:
         out_dev = np.asarray(model.apply(v, b_dev, arch, False))
         out_host = np.asarray(model.apply(v, b_host, arch, False))
         np.testing.assert_allclose(out_dev, out_host, rtol=1e-5, atol=1e-5)
+
+
+class TestJpegDecoderParity:
+    """data/ego._load_jpg decodes via cv2 (libjpeg-turbo) when available,
+    PIL otherwise — the two must produce identical uint8 pixels, else the
+    decode speedup would silently change the training data."""
+
+    def test_cv2_and_pil_decode_identically(self, tmp_path):
+        import bmnas_tpu.data.ego as ego_mod
+        from bmnas_tpu.data.synthetic import make_ego_synthetic
+
+        if ego_mod.cv2 is None:
+            pytest.skip("cv2 not available")
+        make_ego_synthetic(str(tmp_path), n_per_subset=1, frames=2, hw=40)
+        jpgs = []
+        for dirpath, _, files in __import__("os").walk(tmp_path):
+            jpgs += [f"{dirpath}/{f}" for f in files if f.endswith(".jpg")]
+        assert jpgs, "synthetic corpus wrote no frames"
+        real_cv2 = ego_mod.cv2
+        for path in jpgs:
+            gray = "Depth" in path
+            via_cv2 = ego_mod._load_jpg(path, gray)
+            try:
+                ego_mod.cv2 = None  # force the PIL fallback
+                via_pil = ego_mod._load_jpg(path, gray)
+            finally:
+                ego_mod.cv2 = real_cv2
+            assert via_cv2.dtype == np.uint8 and via_cv2.shape == via_pil.shape
+            np.testing.assert_array_equal(via_cv2, via_pil)

@@ -576,6 +576,12 @@ def project_scan(t_wm, t_am, k):
 def scan_rows(tag, m):
     k = m["K"]
     sps, search = project_scan(m["t_wm"], m["t_am"], k)
+    # XLA cost_analysis counts a lax.scan BODY once, not xK (verified: the
+    # k=8 executable reports the same 245.78 GFLOP as the single-step one),
+    # so the dispatch executes k * single-step FLOPs. Score against that;
+    # if cost_analysis ever starts multiplying by trip count, the k* here
+    # would push MFU past 1 and mfu()'s IMPOSSIBLE guard flags it.
+    flops = m["w_flops"] * k if m["w_flops"] else None
     return sps, {
         f"{tag}_scan{k}_samples_per_sec": round(sps, 2),
         f"{tag}_scan{k}_weight_dispatch_ms": round(m["t_wm"] * 1e3, 2),
@@ -583,9 +589,8 @@ def scan_rows(tag, m):
             round(t * 1e3, 2) for t in m["sp_wm"]],
         f"{tag}_scan{k}_arch_dispatch_ms": round(m["t_am"] * 1e3, 2),
         f"{tag}_scan{k}_projected_search_minutes": round(search / 60.0, 1),
-        f"{tag}_scan{k}_mfu": mfu(m["wm_flops"], m["t_wm"]),
-        f"{tag}_scan{k}_achieved_tflops": achieved_tflops(m["wm_flops"],
-                                                          m["t_wm"]),
+        f"{tag}_scan{k}_mfu": mfu(flops, m["t_wm"]),
+        f"{tag}_scan{k}_achieved_tflops": achieved_tflops(flops, m["t_wm"]),
     }
 
 

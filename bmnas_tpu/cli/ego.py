@@ -120,6 +120,14 @@ def _add_ego_flags(parser, *, search: bool):
                              '--device_cache_budget_gb')
     parser.add_argument('--device_cache_budget_gb', type=float, default=10.0,
                         help='per-split HBM budget for --device_data_cache')
+    parser.add_argument('--host_decode_cache_gb', type=float, default=0.0,
+                        help='host RAM budget for the decode-once JPEG '
+                             'frame cache (data/ego._DecodeCache). The ego '
+                             'host path is decode-bound (~75%% of sample '
+                             'cost, benchmarks/ego_host_profile.json) and '
+                             'gestures share video frames ~4x per epoch, '
+                             '100%% across epochs; full-scale working set '
+                             '~47 GB. 0 disables.')
     from bmnas_tpu.cli.common import add_data_backend_flags
     add_data_backend_flags(parser)
     if not search:
@@ -160,7 +168,15 @@ def _setup_data(args, parallel_ctx, stages):
                           sample_duration=args.sample_duration,
                           downsample=args.downsample,
                           train_transform=(phase == "train"),
-                          num_workers=args.num_workers)
+                          num_workers=args.num_workers,
+                          host_decode_cache_gb=(
+                              # decode-once cache pays off only for splits
+                              # re-read every epoch; cached-in-HBM splits
+                              # (--device_data_cache dev/test) decode once
+                              # anyway
+                              args.host_decode_cache_gb
+                              if phase == "train" or not args.device_data_cache
+                              else 0.0))
         for phase, subset in stages.items()
     }
     dataset_sizes = {p: len(d) for p, d in datasets.items()}

@@ -242,21 +242,40 @@ def _build_train_frame_pool(args, datasets, batchsize, logger, parallel_ctx):
     from bmnas_tpu.data.ntu import load_video
     sample = load_video(ds.rgb_list[0])
     itemsize = 4 if (sample.dtype != np.uint8 or ds.host_image_norm) else 1
-    est_gb = (int(np.prod(sample.shape)) * itemsize * len(ds)) / 2**30
+    bytes_per_sample = int(np.prod(sample.shape)) * itemsize
+    est_gb = (bytes_per_sample * len(ds)) / 2**30
     ndev = parallel_ctx.num_devices if parallel_ctx is not None else 1
-    per_dev_gb = est_gb / ndev
-    if per_dev_gb > args.device_cache_budget_gb:
+    # HYBRID pool+stream (VERDICT r04 #2): when the full split exceeds the
+    # budget, pool as many rows as fit (the first pool_n dataset rows —
+    # sample_idx IS the pool row) and stream the remainder each epoch
+    # (data/ntu.hybrid_batches). At full NTU scale (11,376 x 8 x 256^2
+    # uint8 ~ 16.7 GB vs one 16 GB chip) a 12 GB budget pools ~8.2k rows
+    # and cuts per-epoch H2D from 4.5 GB to ~1.3 GB. The reference gets the
+    # same effect by spreading batch-96 across ~128 GB of aggregate GPU
+    # memory (README.md:66).
+    capacity = int(args.device_cache_budget_gb * 2**30 * ndev
+                   // max(1, bytes_per_sample))
+    pool_n = min(len(ds), capacity)
+    # partial pooling below ~2 batches is churn for no H2D win; a split
+    # that fits WHOLE always pools, however small (tiny corpora/tests)
+    if pool_n < len(ds) and pool_n < 2 * batchsize:
         logger.info(
-            "device frame pool [train]: skipped (~%.1f GB / %d devices = "
-            "%.1f GB per device > --device_cache_budget_gb %.1f) - split "
-            "streams", est_gb, ndev, per_dev_gb,
-            args.device_cache_budget_gb)
+            "device frame pool [train]: skipped (budget %.1f GB x %d "
+            "devices fits only %d of %d samples; < 2 batches) - split "
+            "streams", args.device_cache_budget_gb, ndev, pool_n, len(ds))
         return None
     try:
-        pool_host = ds.build_frame_pool()
+        pool_host = ds.build_frame_pool(limit=pool_n)
     except ValueError as e:
         logger.info("device frame pool [train]: skipped (%s)", e)
         return None
+    if pool_n < len(ds):
+        logger.info(
+            "device frame pool [train]: HYBRID - pooling %d of %d samples "
+            "(~%.1f of ~%.1f GB, budget %.1f GB x %d devices); the "
+            "remaining %d stream each epoch", pool_n, len(ds),
+            bytes_per_sample * pool_n / 2**30, est_gb,
+            args.device_cache_budget_gb, ndev, len(ds) - pool_n)
     if parallel_ctx is not None:
         n_pad = (-pool_host.shape[0]) % ndev
         if n_pad:
@@ -266,15 +285,20 @@ def _build_train_frame_pool(args, datasets, batchsize, logger, parallel_ctx):
         pool_dev = parallel_ctx.shard_batch({"image": pool_host})["image"]
     else:
         pool_dev = jax.device_put(pool_host)
-    logger.info("device frame pool [train]: %d samples x %d frames, %.2f GB "
-                "HBM (%.2f GB per device)", len(ds), pool_host.shape[1],
-                pool_host.nbytes / 2**30, pool_host.nbytes / 2**30 / ndev)
+    logger.info("device frame pool [train]: %d of %d samples x %d frames, "
+                "%.2f GB HBM (%.2f GB per device)", pool_n, len(ds),
+                pool_host.shape[1], pool_host.nbytes / 2**30,
+                pool_host.nbytes / 2**30 / ndev)
+
+    spd = max(1, int(getattr(args, "steps_per_dispatch", 1)))
 
     def pool_batches(phase, epoch):
-        # identical order/seed stream to the streaming threads loader
+        # identical order/seed stream to the streaming threads loader;
+        # hybrid_batches == pool_batches when pool_n covers the split
         seed = (args.seed * 1000003 + epoch * 131 + _stage_seed(phase))
-        return datasets[phase].pool_batches(batchsize, shuffle=True,
-                                            seed=seed)
+        return datasets[phase].hybrid_batches(batchsize, shuffle=True,
+                                              seed=seed, pool_n=pool_n,
+                                              spd=spd)
 
     return {"pools": {"train": pool_dev}, "pool_batches": pool_batches}
 

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import os
 from concurrent.futures import ThreadPoolExecutor
-from typing import Dict, Iterator, Tuple
+from typing import Dict, Iterator, Optional, Tuple
 
 import numpy as np
 
@@ -332,12 +332,17 @@ class NTUDataset:
             return None
         return probe.shape[0]
 
-    def build_frame_pool(self) -> np.ndarray:
+    def build_frame_pool(self, limit: Optional[int] = None) -> np.ndarray:
         """Decode every video once -> (N, F, H, W, 3) pool array (uint8 for
         device-normalized sources; float sources are host-normalized here,
         exactly as load_sample would). Raises ValueError on non-uniform
-        shapes or mixed dtypes (caller falls back to streaming)."""
-        vids = list(self._pool.map(load_video, self.rgb_list))
+        shapes or mixed dtypes (caller falls back to streaming).
+
+        ``limit``: pool only the first ``limit`` dataset rows — the hybrid
+        pool+stream path for splits whose full pool exceeds the HBM budget
+        (rows >= limit stream per epoch via hybrid_batches)."""
+        rgb_list = self.rgb_list if limit is None else self.rgb_list[:limit]
+        vids = list(self._pool.map(load_video, rgb_list))
         shapes = {v.shape for v in vids}
         dtypes = {v.dtype for v in vids}
         if len(shapes) != 1 or len(dtypes) != 1:
@@ -408,3 +413,108 @@ class NTUDataset:
                 out["sample_idx"][i] = idxs[i]
                 out["frame_idx"][i] = s["frame_idx"]
             yield out
+
+    def hybrid_batches(self, batch_size: int, shuffle: bool, seed: int = 0,
+                       pool_n: Optional[int] = None, spd: int = 1,
+                       pad_to_full: bool = True
+                       ) -> Iterator[Dict[str, np.ndarray]]:
+        """Hybrid pool+stream epoch for splits whose full frame pool exceeds
+        the HBM budget (VERDICT r04 #2; reference workload
+        main_darts_searchable_ntu.py:38-59 feeds the whole split from host
+        RAM across ~128 GB aggregate GPU memory — one 16 GB chip cannot).
+
+        Rows < ``pool_n`` (resident via build_frame_pool(limit=pool_n))
+        yield POOL-kind batches ({skeleton,label,mask,sample_idx,frame_idx},
+        ~KBs of H2D); rows >= pool_n yield STREAM-kind batches (full pixels,
+        exactly load_sample's output). Batches are homogeneous by kind and
+        grouped into runs of ``spd`` so the training loop's scanned dispatch
+        stays intact; run kinds interleave in a seed-deterministic order.
+
+        Per-sample augmentation seeds match ``batches``/``pool_batches``
+        (seed*7919 + dataset idx), so a sample's temporal crop is identical
+        whether it is pooled or streamed. When pool_n >= len(self) the
+        stream side is empty and the output is batch-for-batch identical to
+        ``pool_batches`` (the equivalence tests pin pool == stream)."""
+        if pool_n is None or pool_n >= len(self):
+            yield from self.pool_batches(batch_size, shuffle, seed,
+                                         pad_to_full)
+            return
+        self._pool_frames = self.pool_frame_count()
+        seed = seed % (2**32)
+        order = np.arange(len(self))
+        rs = np.random.RandomState(seed)
+        if shuffle:
+            rs.shuffle(order)
+        pooled = order[order < pool_n]
+        streamed = order[order >= pool_n]
+        spd = max(1, int(spd))
+
+        def pool_kind(idxs):
+            seeds = [int(seed * 7919 + i) for i in idxs]
+            samples = list(self._pool.map(self.pool_sample, idxs, seeds))
+            F = self.vid_len[0]
+            b = batch_size if pad_to_full else len(samples)
+            out = {
+                "skeleton": np.zeros((b,) + samples[0]["skeleton"].shape,
+                                     np.float32),
+                "label": np.zeros((b,), np.int32),
+                "mask": np.zeros((b,), np.float32),
+                "sample_idx": np.full((b,), -1, np.int32),
+                "frame_idx": np.zeros((b, F), np.int32),
+            }
+            for i, s in enumerate(samples):
+                out["skeleton"][i] = s["skeleton"]
+                out["label"][i] = s["label"]
+                out["mask"][i] = 1.0
+                out["sample_idx"][i] = idxs[i]
+                out["frame_idx"][i] = s["frame_idx"]
+            return out
+
+        def stream_kind(idxs):
+            seeds = [int(seed * 7919 + i) for i in idxs]
+            samples = list(self._pool.map(self.load_sample, idxs, seeds))
+            # mixed-source dtype unification — same rule as batches()
+            if len({s["image"].dtype for s in samples}) > 1:
+                for s in samples:
+                    if s["image"].dtype == np.uint8:
+                        img = s["image"] / 255.0
+                        s["image"] = (
+                            (img - IMAGENET_MEAN.reshape(1, 1, 1, 3))
+                            / IMAGENET_STD.reshape(1, 1, 1, 3)
+                        ).astype(np.float32)
+            b = batch_size if pad_to_full else len(samples)
+            out = {
+                "image": np.zeros((b,) + samples[0]["image"].shape,
+                                  samples[0]["image"].dtype),
+                "skeleton": np.zeros((b,) + samples[0]["skeleton"].shape,
+                                     np.float32),
+                "label": np.zeros((b,), np.int32),
+                "mask": np.zeros((b,), np.float32),
+            }
+            for i, s in enumerate(samples):
+                out["image"][i] = s["image"]
+                out["skeleton"][i] = s["skeleton"]
+                out["label"][i] = s["label"]
+                out["mask"][i] = 1.0
+            return out
+
+        # runs of spd batches per kind; kind order shuffled run-wise so the
+        # SGD stream does not see all-pooled-then-all-streamed drift
+        def runs(idx_arr):
+            batches = [idx_arr[s:s + batch_size]
+                       for s in range(0, len(idx_arr), batch_size)]
+            return [batches[s:s + spd] for s in range(0, len(batches), spd)]
+
+        p_runs, s_runs = runs(pooled), runs(streamed)
+        tags = ["P"] * len(p_runs) + ["S"] * len(s_runs)
+        np.random.RandomState(seed + 1).shuffle(tags)
+        pi = si = 0
+        for tag in tags:
+            if tag == "P":
+                run, pi = p_runs[pi], pi + 1
+                for idxs in run:
+                    yield pool_kind(idxs)
+            else:
+                run, si = s_runs[si], si + 1
+                for idxs in run:
+                    yield stream_kind(idxs)

@@ -209,14 +209,19 @@ def run_training(
                     # sample/frame index arrays and gathers pixels on device
                     # (bilevel.build_pool_step_functions). Host fields stay
                     # numpy so multi-process --parallel sees them replicated.
-                    import itertools
+                    #
+                    # HYBRID pool+stream (oversized splits, VERDICT r04 #2):
+                    # the iterator may interleave POOL-kind batches (have
+                    # sample_idx/frame_idx) with STREAM-kind ones (full
+                    # pixels, for rows that did not fit the HBM budget —
+                    # data/ntu.hybrid_batches). Chunks stay homogeneous by
+                    # kind: pooled chunks run the pool step functions,
+                    # streamed chunks the regular ones.
                     pfns = device_cache["pool_fns"]
                     pool = device_cache["pools"][phase]
-                    it = iter(device_cache["pool_batches"](phase, epoch))
-                    while True:
-                        chunk = list(itertools.islice(it, spd))
-                        if not chunk:
-                            break
+
+                    def _dispatch_pool_chunk(state, counts_total, chunk):
+                        pooled = "sample_idx" in chunk[0]
                         if len(chunk) == spd and spd > 1:
                             stacked = jax.tree_util.tree_map(
                                 lambda *xs: np.stack(xs), *chunk)
@@ -224,25 +229,51 @@ def run_training(
                                 etas = np.asarray(
                                     [scheduler.step() for _ in chunk],
                                     np.float32)
-                                state, counts = pfns.weight_step_many(
-                                    state, pool, stacked, etas)
-                            else:
+                                if pooled:
+                                    state, counts = pfns.weight_step_many(
+                                        state, pool, stacked, etas)
+                                else:
+                                    state, counts = fns.weight_step_many(
+                                        state, stacked, etas)
+                            elif pooled:
                                 counts = pfns.eval_step_many(
                                     state, pool, stacked)
+                            else:
+                                counts = fns.eval_step_many(state, stacked)
                             counts_total = _accumulate(counts_total, counts)
                         else:
                             # tail (or spd == 1): single-step functions avoid
                             # compiling a tail-length scan program
                             for h in chunk:
                                 if trains_weights:
-                                    state, counts = pfns.weight_step(
-                                        state, pool, h,
-                                        np.float32(scheduler.step()))
-                                else:
+                                    eta = np.float32(scheduler.step())
+                                    if pooled:
+                                        state, counts = pfns.weight_step(
+                                            state, pool, h, eta)
+                                    else:
+                                        state, counts = fns.weight_step(
+                                            state, h, eta)
+                                elif pooled:
                                     counts = pfns.eval_step(state, pool, h)
+                                else:
+                                    counts = fns.eval_step(state, h)
                                 counts_total = _accumulate(counts_total,
                                                            counts)
                         _release_host_memory()
+                        return state, counts_total
+
+                    buf = []
+                    for h in device_cache["pool_batches"](phase, epoch):
+                        if buf and (len(buf) == spd
+                                    or ("sample_idx" in h)
+                                    != ("sample_idx" in buf[0])):
+                            state, counts_total = _dispatch_pool_chunk(
+                                state, counts_total, buf)
+                            buf = []
+                        buf.append(h)
+                    if buf:
+                        state, counts_total = _dispatch_pool_chunk(
+                            state, counts_total, buf)
                 elif spd > 1 and not unrolled and fns.weight_step_many is not None:
                     import itertools
                     import jax.numpy as jnp

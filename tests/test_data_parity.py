@@ -281,3 +281,52 @@ class TestJpegDecoderParity:
                 ego_mod.cv2 = real_cv2
             assert via_cv2.dtype == np.uint8 and via_cv2.shape == via_pil.shape
             np.testing.assert_array_equal(via_cv2, via_pil)
+
+    def _both_paths(self, ego_mod, path, gray):
+        via_cv2 = ego_mod._load_jpg(path, gray)
+        real_cv2 = ego_mod.cv2
+        try:
+            ego_mod.cv2 = None
+            via_pil = ego_mod._load_jpg(path, gray)
+        finally:
+            ego_mod.cv2 = real_cv2
+        return via_cv2, via_pil
+
+    def test_exif_orientation_is_ignored_like_pil(self, tmp_path):
+        """Real EgoGesture frames can carry EXIF orientation tags; the
+        reference decode (PIL Image.open().convert()) never applies them,
+        while cv2's default flags DO — which would silently rotate the
+        training data (ADVICE r04). Both modes must ignore the tag."""
+        import bmnas_tpu.data.ego as ego_mod
+        from PIL import Image
+
+        if ego_mod.cv2 is None:
+            pytest.skip("cv2 not available")
+        rng = np.random.RandomState(0)
+        img = Image.fromarray(rng.randint(0, 255, (30, 44, 3), np.uint8))
+        exif = Image.Exif()
+        exif[274] = 6  # Orientation: rotate 90 CW on honor
+        path = str(tmp_path / "exif.jpg")
+        img.save(path, exif=exif)
+        for gray in (False, True):
+            via_cv2, via_pil = self._both_paths(ego_mod, path, gray)
+            assert via_cv2.shape == via_pil.shape  # (30, 44, .) — unrotated
+            np.testing.assert_array_equal(via_cv2, via_pil)
+
+    def test_color_encoded_grayscale_matches_pil_convert_L(self, tmp_path):
+        """A depth frame re-encoded as a COLOR JPEG (3-channel YCbCr):
+        cv2.IMREAD_GRAYSCALE's codec-internal luma differs by +-1 LSB from
+        PIL convert('L'); the gray path must detect the color encoding and
+        produce PIL-exact pixels (ADVICE r04)."""
+        import bmnas_tpu.data.ego as ego_mod
+        from PIL import Image
+
+        if ego_mod.cv2 is None:
+            pytest.skip("cv2 not available")
+        rng = np.random.RandomState(1)
+        arr = rng.randint(0, 255, (32, 32, 3), np.uint8)
+        path = str(tmp_path / "colorgray.jpg")
+        Image.fromarray(arr).save(path, quality=95)
+        via_cv2, via_pil = self._both_paths(ego_mod, path, True)
+        assert via_cv2.shape == via_pil.shape == (32, 32, 1)
+        np.testing.assert_array_equal(via_cv2, via_pil)

@@ -46,6 +46,25 @@ def ntu_poolfit(root="/root/ntu_poolfit"):
     print(f"ntu_poolfit done in {time.time() - t0:.0f}s", flush=True)
 
 
+def ntu_fullscale(root="/root/ntu_fullscale"):
+    """Reference-scale NTU search corpus: 1,422 clips per subject (the real
+    corpus's density) -> 11,376 train_exp / 5,688 dev samples, 8x256x256
+    uint8 clips + 64-frame skeletons (~27 GB on disk). This is the workload
+    behind benchmarks/ntu_fullscale_search.json and the hybrid pool+stream
+    measurement (VERDICT r04 #2)."""
+    from bmnas_tpu.data.synthetic import make_ntu_synthetic
+    t0 = time.time()
+    make_ntu_synthetic(root, n_videos_per_subject=1422,
+                       subjects=(1, 8, 15, 17, 19, 27, 31, 35, 2, 5, 9, 14),
+                       num_actions=60, hw=256, frames=8, ske_frames=64,
+                       seed=13)
+    make_ntu_synthetic(root, n_videos_per_subject=25,
+                       subjects=(3, 6, 7, 10), num_actions=60,
+                       hw=256, frames=8, ske_frames=64, seed=17)
+    open(os.path.join(root, ".ready"), "w").close()
+    print(f"ntu_fullscale done in {time.time() - t0:.0f}s", flush=True)
+
+
 def _frame_pool(root, n=256, wh=(320, 240), seed=3):
     """Distinct low-frequency JPEGs (same construction as
     bmnas_tpu.data.synthetic.make_ego_synthetic smooth=True)."""
@@ -123,3 +142,5 @@ if __name__ == "__main__":
         ntu_poolfit()
     if which in ("all", "ego"):
         ego_fullscale()
+    if which in ("all", "ntu_fullscale"):
+        ntu_fullscale()

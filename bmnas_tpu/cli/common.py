@@ -225,6 +225,9 @@ def build_device_cache(args, datasets, batchsize, logger, phases,
                         phase, len(ds), nbytes / 2**30)
     if not caches:
         return None
+    resident_gb = sum(
+        int(np.prod(v.shape)) * v.dtype.itemsize
+        for c in caches.values() for v in c.values()) / 2**30
 
     def indices(phase, epoch):
         # mirror the streaming loader: same seed stream, same order
@@ -240,7 +243,11 @@ def build_device_cache(args, datasets, batchsize, logger, phases,
         padded[:n] = order
         return padded.reshape(n_b, batchsize)
 
-    return {"caches": caches, "indices": indices}
+    # resident_gb: HBM already booked by these split caches — callers that
+    # ALSO build a train frame pool (cli/ntu) must pool against the
+    # remaining budget or the two allocations double-book the chip
+    return {"caches": caches, "indices": indices,
+            "resident_gb": resident_gb}
 
 
 def fail_fast_checks(args):

@@ -209,8 +209,15 @@ def _build_device_cache(args, datasets, batchsize, logger, phases,
             "augmented split: cached as a frame POOL instead (see below)"
             if ds.train_transform else None),
         budget_gb=args.device_cache_budget_gb)
+    # the frame pool must fit in what the split caches left of the budget
+    # (per device) — two independent full-budget allocations would
+    # double-book the chip (e.g. full-scale: 8.9 GB dev cache + a
+    # full-budget train pool > 16 GB HBM)
+    used_gb = (cache or {}).get("resident_gb", 0.0)
+    ndev_ = parallel_ctx.num_devices if parallel_ctx is not None else 1
+    pool_budget = max(0.0, args.device_cache_budget_gb - used_gb / ndev_)
     pool_info = _build_train_frame_pool(args, datasets, batchsize, logger,
-                                        parallel_ctx)
+                                        parallel_ctx, pool_budget)
     if pool_info is not None:
         if cache is None:
             cache = {"caches": {}, "indices": None}
@@ -218,7 +225,8 @@ def _build_device_cache(args, datasets, batchsize, logger, phases,
     return cache
 
 
-def _build_train_frame_pool(args, datasets, batchsize, logger, parallel_ctx):
+def _build_train_frame_pool(args, datasets, batchsize, logger, parallel_ctx,
+                            budget_gb=None):
     """--device_data_cache for the AUGMENTED train split: the random temporal
     crop re-randomizes every epoch, but its video half is pure frame
     selection (data/ntu.aug_crop_select), so the decoded frames live in HBM
@@ -253,16 +261,17 @@ def _build_train_frame_pool(args, datasets, batchsize, logger, parallel_ctx):
     # and cuts per-epoch H2D from 4.5 GB to ~1.3 GB. The reference gets the
     # same effect by spreading batch-96 across ~128 GB of aggregate GPU
     # memory (README.md:66).
-    capacity = int(args.device_cache_budget_gb * 2**30 * ndev
-                   // max(1, bytes_per_sample))
+    budget = (budget_gb if budget_gb is not None
+              else args.device_cache_budget_gb)
+    capacity = int(budget * 2**30 * ndev // max(1, bytes_per_sample))
     pool_n = min(len(ds), capacity)
     # partial pooling below ~2 batches is churn for no H2D win; a split
     # that fits WHOLE always pools, however small (tiny corpora/tests)
     if pool_n < len(ds) and pool_n < 2 * batchsize:
         logger.info(
-            "device frame pool [train]: skipped (budget %.1f GB x %d "
-            "devices fits only %d of %d samples; < 2 batches) - split "
-            "streams", args.device_cache_budget_gb, ndev, pool_n, len(ds))
+            "device frame pool [train]: skipped (remaining budget %.1f GB x "
+            "%d devices fits only %d of %d samples; < 2 batches) - split "
+            "streams", budget, ndev, pool_n, len(ds))
         return None
     try:
         pool_host = ds.build_frame_pool(limit=pool_n)
@@ -272,10 +281,10 @@ def _build_train_frame_pool(args, datasets, batchsize, logger, parallel_ctx):
     if pool_n < len(ds):
         logger.info(
             "device frame pool [train]: HYBRID - pooling %d of %d samples "
-            "(~%.1f of ~%.1f GB, budget %.1f GB x %d devices); the "
-            "remaining %d stream each epoch", pool_n, len(ds),
+            "(~%.1f of ~%.1f GB, remaining budget %.1f GB x %d devices); "
+            "the remaining %d stream each epoch", pool_n, len(ds),
             bytes_per_sample * pool_n / 2**30, est_gb,
-            args.device_cache_budget_gb, ndev, len(ds) - pool_n)
+            budget, ndev, len(ds) - pool_n)
     if parallel_ctx is not None:
         n_pad = (-pool_host.shape[0]) % ndev
         if n_pad:

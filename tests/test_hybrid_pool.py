@@ -92,9 +92,13 @@ def test_hybrid_search_e2e(data_root, tmp_path):
     """Full search epoch through the kind-aware loop dispatch: a budget that
     fits only ~8 of 12 train rows must log the HYBRID pool, train on both
     kinds, and produce a finite accuracy + valid genotype."""
+    import re
+
     from bmnas_tpu.cli.ntu import main_search
-    # 8 rows x 70 frames x 32*32*3 uint8 = 1.64 MB -> budget just above it
-    budget = f"{8 * 70 * 32 * 32 * 3 / 2**30 * 1.01:.6f}"
+    # 8 rows x 70 frames x 32*32*3 uint8 = 1.64 MB, plus ~1 MB for the
+    # dev/test split caches that are debited from the same budget
+    # (cli/common.build_device_cache resident_gb accounting)
+    budget = f"{(8 * 70 * 32 * 32 * 3 + 1_200_000) / 2**30:.6f}"
     cwd = os.getcwd()
     os.chdir(tmp_path)
     try:
@@ -109,6 +113,8 @@ def test_hybrid_search_e2e(data_root, tmp_path):
         assert genotype is not None and len(genotype.edges) == 4
         exp = glob.glob("final_exp/ntu/search-*")[0]
         log = open(os.path.join(exp, "log.txt")).read()
-        assert "HYBRID - pooling 8 of 12" in log
+        m = re.search(r"HYBRID - pooling (\d+) of 12", log)
+        assert m, "hybrid pool did not engage"
+        assert 4 <= int(m.group(1)) < 12  # genuinely partial
     finally:
         os.chdir(cwd)

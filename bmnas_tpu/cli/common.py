@@ -145,6 +145,43 @@ def model_kwargs_from_args(args) -> dict:
 # Shared trainer plumbing (used by all three task CLIs).
 # ---------------------------------------------------------------------------
 
+def clamp_cache_budget(budget_gb, logger=None, headroom_gb=None):
+    """Cap a data-cache HBM budget to what the device can actually spare.
+
+    RESOURCE_EXHAUSTED postmortem (full-scale NTU search, R5HYBRID run):
+    --device_cache_budget_gb 12 on a 16 GB chip booked 12 GB of resident
+    data (8.43 GB dev cache + 3.57 GB train frame pool) and left <4 GB for
+    the batch-96 search step itself — the flag silently allowed double-
+    booking HBM the step needs. Reserve ``headroom_gb`` out of the
+    device's currently-free HBM and cap the budget there. The 5 GB default
+    is measured, not guessed: the round-4 full-scale run held ~5 GB free
+    and ran; ~3.5 GB free OOMed. Override via BMNAS_CACHE_HEADROOM_GB.
+
+    No-op where memory_stats is unavailable (CPU test meshes, some
+    runtimes) — those fall back to trusting the flag, the pre-clamp
+    behavior."""
+    import os
+
+    import jax
+    if budget_gb is None:
+        return None
+    if headroom_gb is None:
+        headroom_gb = float(os.environ.get("BMNAS_CACHE_HEADROOM_GB", 5.0))
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        free_gb = (int(stats["bytes_limit"])
+                   - int(stats["bytes_in_use"])) / 2**30
+    except Exception:
+        return budget_gb
+    safe = max(0.0, free_gb - headroom_gb)
+    if budget_gb > safe and logger is not None:
+        logger.info(
+            "device cache budget clamped: %.1f -> %.1f GB "
+            "(%.1f GB free HBM - %.1f GB step headroom)",
+            budget_gb, safe, free_gb, headroom_gb)
+    return min(budget_gb, safe)
+
+
 def build_device_cache(args, datasets, batchsize, logger, phases,
                        parallel_ctx=None, *, host_transform=None,
                        cacheable=None, budget_gb=None,
@@ -170,6 +207,7 @@ def build_device_cache(args, datasets, batchsize, logger, phases,
     import jax
     import numpy as np
 
+    budget_gb = clamp_cache_budget(budget_gb, logger)
     caches = {}
     for phase in phases:
         ds = datasets[phase]

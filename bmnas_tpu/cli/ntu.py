@@ -202,20 +202,24 @@ def _build_device_cache(args, datasets, batchsize, logger, phases,
     anything over --device_cache_budget_gb streams too (the full-scale NTU
     test split ~26 GB can never fit). Reference workload being scaled:
     main_darts_searchable_ntu.py:38-59."""
-    from bmnas_tpu.cli.common import build_device_cache
+    from bmnas_tpu.cli.common import build_device_cache, clamp_cache_budget
+    # clamp ONCE and share: the split caches and the frame pool below must
+    # split the same HBM-feasible budget (clamp_cache_budget reserves step
+    # headroom — a 12 GB budget on a 16 GB chip OOMed the batch-96 step)
+    budget = clamp_cache_budget(args.device_cache_budget_gb, logger)
     cache = build_device_cache(
         args, datasets, batchsize, logger, phases, parallel_ctx,
         cacheable=lambda phase, ds: (
             "augmented split: cached as a frame POOL instead (see below)"
             if ds.train_transform else None),
-        budget_gb=args.device_cache_budget_gb)
+        budget_gb=budget)
     # the frame pool must fit in what the split caches left of the budget
     # (per device) — two independent full-budget allocations would
     # double-book the chip (e.g. full-scale: 8.9 GB dev cache + a
     # full-budget train pool > 16 GB HBM)
     used_gb = (cache or {}).get("resident_gb", 0.0)
     ndev_ = parallel_ctx.num_devices if parallel_ctx is not None else 1
-    pool_budget = max(0.0, args.device_cache_budget_gb - used_gb / ndev_)
+    pool_budget = max(0.0, (budget or 0.0) - used_gb / ndev_)
     pool_info = _build_train_frame_pool(args, datasets, batchsize, logger,
                                         parallel_ctx, pool_budget)
     if pool_info is not None:
@@ -305,9 +309,19 @@ def _build_train_frame_pool(args, datasets, batchsize, logger, parallel_ctx,
         # identical order/seed stream to the streaming threads loader;
         # hybrid_batches == pool_batches when pool_n covers the split
         seed = (args.seed * 1000003 + epoch * 131 + _stage_seed(phase))
-        return datasets[phase].hybrid_batches(batchsize, shuffle=True,
-                                              seed=seed, pool_n=pool_n,
-                                              spd=spd)
+        it = datasets[phase].hybrid_batches(batchsize, shuffle=True,
+                                            seed=seed, pool_n=pool_n,
+                                            spd=spd)
+        if parallel_ctx is None:
+            # background host-assembly + H2D staging (single-process only:
+            # under multi-process --parallel the host batches must stay
+            # numpy/replicated — see loop.py's pool-path note). Without
+            # this the hybrid path consumed the generator RAW, so every
+            # streamed chunk serialized host decode -> 1.2 GB H2D ->
+            # compute; measured 19.9 min/epoch at full NTU scale where the
+            # link-bound floor is ~7 min (ntu_fullscale_search.json).
+            return device_prefetch(it, size=2)
+        return it
 
     return {"pools": {"train": pool_dev}, "pool_batches": pool_batches}
 

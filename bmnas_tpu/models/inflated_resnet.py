@@ -40,22 +40,23 @@ class Bottleneck3D(nn.Module):
         residual = x
         out = nn.Conv(self.planes, (1, 1, 1), use_bias=False,
                       dtype=self.dtype, name="conv1")(x)
-        out = BatchNorm(name="bn1")(out, train)
+        out = BatchNorm(name="bn1", dtype=self.dtype)(out, train)
         out = nn.relu(out)
         out = nn.Conv(self.planes, (3, 3, 3),
                       strides=(1, self.stride, self.stride), padding=1,
                       use_bias=False, dtype=self.dtype, name="conv2")(out)
-        out = BatchNorm(name="bn2")(out, train)
+        out = BatchNorm(name="bn2", dtype=self.dtype)(out, train)
         out = nn.relu(out)
         out = nn.Conv(self.planes * 4, (1, 1, 1), use_bias=False,
                       dtype=self.dtype, name="conv3")(out)
-        out = BatchNorm(name="bn3")(out, train)
+        out = BatchNorm(name="bn3", dtype=self.dtype)(out, train)
         if self.downsample:
             residual = nn.Conv(self.planes * 4, (1, 1, 1),
                                strides=(1, self.stride, self.stride),
                                use_bias=False, dtype=self.dtype,
                                name="downsample_conv")(x)
-            residual = BatchNorm(name="downsample_bn")(residual, train)
+            residual = BatchNorm(name="downsample_bn",
+                                 dtype=self.dtype)(residual, train)
         return nn.relu(out + residual.astype(out.dtype))
 
 
@@ -80,7 +81,7 @@ class InflatedResNet50(nn.Module):
         h = x.astype(self.dtype).reshape(B * T, H, W, C)
         h = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
                     dtype=self.dtype, name="conv1")(h)
-        h = BatchNorm(name="bn1")(h, train)
+        h = BatchNorm(name="bn1", dtype=self.dtype)(h, train)
         h = nn.relu(h)
         h = nn.max_pool(h, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         h = h.reshape(B, T, h.shape[1], h.shape[2], h.shape[3])

@@ -81,7 +81,7 @@ class ResNeXtBottleneck(nn.Module):
         residual = x
         out = nn.Conv(mid, (1, 1, 1), use_bias=False, dtype=self.dtype,
                       name="conv1")(x)
-        out = BatchNorm(name="bn1")(out, train)
+        out = BatchNorm(name="bn1", dtype=self.dtype)(out, train)
         out = nn.relu(out)
         if self.dense_grouped:
             out = BlockDiagGroupedConv(
@@ -92,16 +92,17 @@ class ResNeXtBottleneck(nn.Module):
                           feature_group_count=self.cardinality,
                           use_bias=False, dtype=self.dtype,
                           name="conv2")(out)
-        out = BatchNorm(name="bn2")(out, train)
+        out = BatchNorm(name="bn2", dtype=self.dtype)(out, train)
         out = nn.relu(out)
         out = nn.Conv(self.planes * self.expansion, (1, 1, 1), use_bias=False,
                       dtype=self.dtype, name="conv3")(out)
-        out = BatchNorm(name="bn3")(out, train)
+        out = BatchNorm(name="bn3", dtype=self.dtype)(out, train)
         if self.downsample:
             residual = nn.Conv(self.planes * self.expansion, (1, 1, 1),
                                strides=self.stride, use_bias=False,
                                dtype=self.dtype, name="downsample_conv")(x)
-            residual = BatchNorm(name="downsample_bn")(residual, train)
+            residual = BatchNorm(name="downsample_bn",
+                                 dtype=self.dtype)(residual, train)
         return nn.relu(out + residual.astype(out.dtype))
 
 
@@ -122,7 +123,7 @@ class ResNeXt3D(nn.Module):
         h = nn.Conv(64, (self.stem_kernel_t, 7, 7), strides=(1, 2, 2),
                     padding=((pad_t, pad_t), (3, 3), (3, 3)), use_bias=False,
                     dtype=self.dtype, name="conv1")(x.astype(self.dtype))
-        h = BatchNorm(name="bn1")(h, train)
+        h = BatchNorm(name="bn1", dtype=self.dtype)(h, train)
         h = nn.relu(h)
         h = nn.max_pool(h, (3, 3, 3), strides=(2, 2, 2),
                         padding=((1, 1),) * 3)

@@ -85,9 +85,18 @@ class BatchNorm(nn.Module):
     reference keeps BN in train mode even on dev batches during search
     (train_searchable/mmimdb.py:50-56), which callers replicate by passing
     ``train=True`` there.
+
+    ``dtype``: computation/output dtype. The default (None) promotes with
+    the fp32 scale/bias — i.e. a bf16 conv output comes back fp32, and
+    every BN+relu between backbone convs then moves 2x the HBM bytes. The
+    bf16 backbones pass their dtype so activations STAY bf16 end-to-end
+    (flax still reduces the batch statistics in fp32 internally, and the
+    running stats / scale / bias params remain fp32) — the NTU found step
+    is bandwidth-gapped exactly here (benchmarks/ROOFLINE.md #4).
     """
     momentum: float = 0.9
     epsilon: float = 1e-5
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
@@ -96,6 +105,7 @@ class BatchNorm(nn.Module):
             momentum=self.momentum,
             epsilon=self.epsilon,
             axis=-1,
+            dtype=self.dtype,
         )(x)
 
 

@@ -223,8 +223,18 @@ def run_training(
                     def _dispatch_pool_chunk(state, counts_total, chunk):
                         pooled = "sample_idx" in chunk[0]
                         if len(chunk) == spd and spd > 1:
+                            # prefetched (single-process) chunks arrive
+                            # device-resident: stack ON DEVICE — np.stack
+                            # would pull every staged batch back to host
+                            # and re-ship it, undoing the overlap. Host
+                            # (multi-process) chunks keep np.stack so they
+                            # enter the jit replicated on the global mesh.
+                            import jax.numpy as jnp
+                            on_device = isinstance(
+                                next(iter(chunk[0].values())), jax.Array)
+                            stack = jnp.stack if on_device else np.stack
                             stacked = jax.tree_util.tree_map(
-                                lambda *xs: np.stack(xs), *chunk)
+                                lambda *xs: stack(list(xs)), *chunk)
                             if trains_weights:
                                 etas = np.asarray(
                                     [scheduler.step() for _ in chunk],

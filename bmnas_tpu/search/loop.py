@@ -269,7 +269,14 @@ def run_training(
                                     counts = fns.eval_step(state, h)
                                 counts_total = _accumulate(counts_total,
                                                            counts)
-                        _release_host_memory()
+                        # Pool-kind chunks ("sample_idx" present) move only
+                        # KB-scale index arrays to the device — the relay
+                        # buffer leak the trim works around (130 GB RSS) only
+                        # accumulates on streamed pixel batches, so skip the
+                        # per-chunk trim when nothing streamed (VERDICT r04
+                        # weak #6: blunt per-chunk overhead in cached modes).
+                        if "sample_idx" not in chunk[0]:
+                            _release_host_memory()
                         return state, counts_total
 
                     buf = []

@@ -88,13 +88,23 @@ def test_hybrid_batches_poolfit_delegates_to_pool_batches(data_root):
             np.testing.assert_array_equal(x[k], y[k])
 
 
-def test_hybrid_search_e2e(data_root, tmp_path):
+def test_hybrid_search_e2e(data_root, tmp_path, monkeypatch):
     """Full search epoch through the kind-aware loop dispatch: a budget that
     fits only ~8 of 12 train rows must log the HYBRID pool, train on both
-    kinds, and produce a finite accuracy + valid genotype."""
+    kinds, and produce a finite accuracy + valid genotype.
+
+    Also pins the host-memory-trim gating (VERDICT r04 weak #6): the
+    per-chunk ``_release_host_memory`` must fire only for STREAM-kind
+    chunks (pixels crossed the relay), never for pool-kind index-gather
+    chunks, so an almost-fully-cached epoch pays ~zero trim overhead."""
     import re
 
     from bmnas_tpu.cli.ntu import main_search
+    from bmnas_tpu.search import loop as loop_mod
+    calls = []
+    real = loop_mod._release_host_memory
+    monkeypatch.setattr(loop_mod, "_release_host_memory",
+                        lambda: (calls.append(1), real())[1])
     # 8 rows x 70 frames x 32*32*3 uint8 = 1.64 MB, plus ~1 MB for the
     # dev/test split caches that are debited from the same budget
     # (cli/common.build_device_cache resident_gb accounting)
@@ -115,6 +125,17 @@ def test_hybrid_search_e2e(data_root, tmp_path):
         log = open(os.path.join(exp, "log.txt")).read()
         m = re.search(r"HYBRID - pooling (\d+) of 12", log)
         assert m, "hybrid pool did not engage"
-        assert 4 <= int(m.group(1)) < 12  # genuinely partial
+        pool_n = int(m.group(1))
+        assert 4 <= pool_n < 12  # genuinely partial
+        # Trim-call budget: one per phase end (unconditional) plus one per
+        # STREAM-kind train chunk (ceil((12-pool_n)/batch/spd) per epoch).
+        # Pool-kind chunks (train pooled run + fully-cached dev/test) must
+        # contribute zero; ungated, the count would at least double.
+        n_phase_ends = log.count("Loss:")
+        stream_chunks = -(-(12 - pool_n) // (2 * 2))
+        assert len(calls) <= n_phase_ends + stream_chunks, (
+            f"per-chunk host trim fired {len(calls)} times; pool-kind "
+            f"chunks should not trigger it "
+            f"(expected <= {n_phase_ends + stream_chunks})")
     finally:
         os.chdir(cwd)

@@ -58,6 +58,12 @@ def main(exp_dir, task=None, out_dir=None):
         flags.append("--bf16_backbone")
     if "device_data_cache=True" in args_m.group(1):
         flags.append("--device_data_cache")
+        budget = re.search(r"device_cache_budget_gb=([\d.]+)", args_m.group(1))
+        if budget:
+            flags.append(f"--device_cache_budget_gb {budget.group(1)}")
+    cache_gb = re.search(r"host_decode_cache_gb=([\d.]+)", args_m.group(1))
+    if cache_gb and float(cache_gb.group(1)) > 0:
+        flags.append(f"--host_decode_cache_gb {cache_gb.group(1)}")
     spd = re.search(r"steps_per_dispatch=(\d+)", args_m.group(1)).group(1)
     if spd != "1":
         flags.append(f"--steps_per_dispatch {spd}")

@@ -157,9 +157,13 @@ def clamp_cache_budget(budget_gb, logger=None, headroom_gb=None):
     is measured, not guessed: the round-4 full-scale run held ~5 GB free
     and ran; ~3.5 GB free OOMed. Override via BMNAS_CACHE_HEADROOM_GB.
 
-    No-op where memory_stats is unavailable (CPU test meshes, some
-    runtimes) — those fall back to trusting the flag, the pre-clamp
-    behavior."""
+    memory_stats() is unavailable through some runtimes (the axon TPU
+    relay returns no stats — the original clamp silently trusted the flag
+    there and the R5HYBRID 12 GB booking OOMed anyway). Fallback: a static
+    HBM-size table keyed on device_kind, debiting 0.5 GB for whatever is
+    already resident at cache-build time (params only — measured ~0.3 GB
+    for the largest search supernet). CPU test meshes match no table entry
+    and keep the pre-clamp trust-the-flag behavior."""
     import os
 
     import jax
@@ -167,12 +171,25 @@ def clamp_cache_budget(budget_gb, logger=None, headroom_gb=None):
         return None
     if headroom_gb is None:
         headroom_gb = float(os.environ.get("BMNAS_CACHE_HEADROOM_GB", 5.0))
+    dev = jax.local_devices()[0]
+    free_gb = None
     try:
-        stats = jax.local_devices()[0].memory_stats()
+        stats = dev.memory_stats()
         free_gb = (int(stats["bytes_limit"])
                    - int(stats["bytes_in_use"])) / 2**30
     except Exception:
-        return budget_gb
+        hbm = os.environ.get("BMNAS_TPU_HBM_GB")
+        if hbm is None:
+            kind = getattr(dev, "device_kind", "").lower()
+            for pat, gb in (("v5 lite", 16.0), ("v5e", 16.0), ("v5p", 95.0),
+                            ("v6", 32.0), ("v4", 32.0), ("v3", 16.0),
+                            ("v2", 8.0)):
+                if pat in kind:
+                    hbm = gb
+                    break
+        if hbm is None:
+            return budget_gb
+        free_gb = float(hbm) - 0.5  # resident params at cache-build time
     safe = max(0.0, free_gb - headroom_gb)
     if budget_gb > safe and logger is not None:
         logger.info(

@@ -290,3 +290,56 @@ class TestBlockDiagGroupedConv:
         want = np.asarray(base.apply(v, batch, arch, False))
         got = np.asarray(flag.apply(v, batch, arch, False))
         np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+class TestCacheBudgetClamp:
+    """clamp_cache_budget must bound resident data on real TPUs even when
+    memory_stats is unavailable (the axon relay returns none — the unclamped
+    12 GB R5HYBRID booking left <4 GB for the batch-96 step and OOMed)."""
+
+    class _Dev:
+        def __init__(self, kind, stats=None):
+            self.device_kind = kind
+            self._stats = stats
+
+        def memory_stats(self):
+            if self._stats is None:
+                raise RuntimeError("no stats on this runtime")
+            return self._stats
+
+    def _clamp(self, monkeypatch, dev, budget, **kw):
+        from bmnas_tpu.cli import common
+        monkeypatch.setattr(jax, "local_devices", lambda: [dev])
+        monkeypatch.delenv("BMNAS_TPU_HBM_GB", raising=False)
+        monkeypatch.delenv("BMNAS_CACHE_HEADROOM_GB", raising=False)
+        return common.clamp_cache_budget(budget, **kw)
+
+    def test_memory_stats_path(self, monkeypatch):
+        dev = self._Dev("TPU v5 lite",
+                        {"bytes_limit": 16 * 2**30, "bytes_in_use": 2**30})
+        assert self._clamp(monkeypatch, dev, 14.0) == pytest.approx(10.0)
+
+    def test_static_fallback_v5e(self, monkeypatch):
+        # no stats: 16 GB (v5 lite table) - 0.5 resident - 5 headroom = 10.5
+        dev = self._Dev("TPU v5 lite")
+        assert self._clamp(monkeypatch, dev, 12.0) == pytest.approx(10.5)
+
+    def test_under_budget_untouched(self, monkeypatch):
+        dev = self._Dev("TPU v5 lite")
+        assert self._clamp(monkeypatch, dev, 8.0) == pytest.approx(8.0)
+
+    def test_env_override(self, monkeypatch):
+        dev = self._Dev("weird accelerator")
+        monkeypatch.setattr(jax, "local_devices", lambda: [dev])
+        monkeypatch.setenv("BMNAS_TPU_HBM_GB", "32")
+        from bmnas_tpu.cli import common
+        assert common.clamp_cache_budget(40.0) == pytest.approx(26.5)
+
+    def test_unknown_kind_trusts_flag(self, monkeypatch):
+        # CPU test meshes / unknown devices: pre-clamp behavior
+        dev = self._Dev("cpu")
+        assert self._clamp(monkeypatch, dev, 12.0) == 12.0
+
+    def test_none_budget_passthrough(self, monkeypatch):
+        dev = self._Dev("TPU v5 lite")
+        assert self._clamp(monkeypatch, dev, None) is None

@@ -108,19 +108,24 @@ def achieved_tflops(flops, t_step):
 
 
 def load_prev_bench():
-    """Latest BENCH_r*.json the driver recorded — the regression baseline."""
+    """Newest BENCH_r*.json with a non-null parse — the regression baseline.
+
+    Walks backwards because a driver-timeout round can record parsed=null
+    (BENCH_r04.json did): carrying value=0 from it would ship a zero
+    headline if THIS run is also killed before its first fresh section."""
     import glob
     import os
     here = os.path.dirname(os.path.abspath(__file__))
-    paths = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
-    if not paths:
-        return None, None
-    try:
-        with open(paths[-1]) as f:
-            rec = json.load(f)
-        return rec.get("parsed"), os.path.basename(paths[-1])
-    except Exception:
-        return None, None
+    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json")),
+                       reverse=True):
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+        except Exception:
+            continue
+        if rec.get("parsed") is not None:
+            return rec["parsed"], os.path.basename(path)
+    return None, None
 
 
 def history_deltas(value, detail):

@@ -85,6 +85,15 @@ def add_common_flags(parser: argparse.ArgumentParser, *, datadir_default: str,
                         help='fuse k sequential train/eval steps into one '
                              'device dispatch (lax.scan) - identical math, '
                              'amortizes host dispatch latency')
+    parser.add_argument('--h2d_streams', type=int, default=1,
+                        help='concurrent host->device transfer streams for '
+                             'STREAMED batches (data/prefetch.py pooled '
+                             'path; order-preserving). >1 multiplies '
+                             'aggregate H2D throughput through the '
+                             'single-stream-limited TPU relay '
+                             '(benchmarks/h2d_probe.py) - the measured wall '
+                             'of full-scale video-search epochs; leave at 1 '
+                             'on locally-attached TPUs')
     parser.add_argument('--unrolled', action='store_true', default=False,
                         help='second-order DARTS arch updates (exact '
                              'unrolled differentiation through a virtual '
@@ -148,14 +157,18 @@ def model_kwargs_from_args(args) -> dict:
 def clamp_cache_budget(budget_gb, logger=None, headroom_gb=None):
     """Cap a data-cache HBM budget to what the device can actually spare.
 
-    RESOURCE_EXHAUSTED postmortem (full-scale NTU search, R5HYBRID run):
+    RESOURCE_EXHAUSTED postmortems (full-scale NTU search, batch 96):
     --device_cache_budget_gb 12 on a 16 GB chip booked 12 GB of resident
     data (8.43 GB dev cache + 3.57 GB train frame pool) and left <4 GB for
     the batch-96 search step itself — the flag silently allowed double-
     booking HBM the step needs. Reserve ``headroom_gb`` out of the
-    device's currently-free HBM and cap the budget there. The 5 GB default
-    is measured, not guessed: the round-4 full-scale run held ~5 GB free
-    and ran; ~3.5 GB free OOMed. Override via BMNAS_CACHE_HEADROOM_GB.
+    device's currently-free HBM and cap the budget there. The 6.5 GB
+    default is bisected from full-scale runs, not guessed: the round-4 run
+    (8.43 GB booked, ~7 GB free) ran; the first R5HYBRID retry (10.5 GB
+    booked, 5.0 GB free — the old 5 GB default) still OOMed at the first
+    epoch's metric fetch. Override via BMNAS_CACHE_HEADROOM_GB; the
+    preflight sync in search/loop.py turns a wrong setting into a
+    minutes-in failure instead of an end-of-epoch one.
 
     memory_stats() is unavailable through some runtimes (the axon TPU
     relay returns no stats — the original clamp silently trusted the flag
@@ -170,7 +183,7 @@ def clamp_cache_budget(budget_gb, logger=None, headroom_gb=None):
     if budget_gb is None:
         return None
     if headroom_gb is None:
-        headroom_gb = float(os.environ.get("BMNAS_CACHE_HEADROOM_GB", 5.0))
+        headroom_gb = float(os.environ.get("BMNAS_CACHE_HEADROOM_GB", 6.5))
     dev = jax.local_devices()[0]
     free_gb = None
     try:

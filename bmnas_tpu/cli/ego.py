@@ -190,7 +190,9 @@ def _setup_data(args, parallel_ctx, stages):
                 args, datasets[phase], batchsize, shuffle=shuffle,
                 seed=(args.seed * 1000003 + epoch * 131 + _stage_seed(phase)),
                 seeded_samples=True)
-            return device_prefetch(it, size=2, place=place)
+            return device_prefetch(it, size=2, place=place,
+                                   put_threads=getattr(
+                                       args, 'h2d_streams', 1))
         return make
 
     loaders = {p: loader(p, shuffle=(p == "train")) for p in stages}

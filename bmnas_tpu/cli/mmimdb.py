@@ -108,7 +108,9 @@ def _setup_data(args, parallel_ctx):
             it = make_batch_iter(
                 args, datasets[stage], batchsize, shuffle=True,
                 seed=(args.seed * 1000003 + epoch * 131 + _stage_seed(stage)))
-            return device_prefetch(it, size=2, place=place)
+            return device_prefetch(it, size=2, place=place,
+                                   put_threads=getattr(
+                                       args, 'h2d_streams', 1))
         return make
 
     loaders = {s: loader(s) for s in ("train", "dev", "test")}

@@ -186,7 +186,9 @@ def _setup_data(args, parallel_ctx, stages):
                 args, datasets[phase], batchsize, shuffle=True,
                 seed=(args.seed * 1000003 + epoch * 131 + _stage_seed(phase)),
                 seeded_samples=True)
-            return device_prefetch(it, size=2, place=place)
+            return device_prefetch(it, size=2, place=place,
+                                   put_threads=getattr(
+                                       args, 'h2d_streams', 1))
         return make
 
     return datasets, dataset_sizes, {p: loader(p) for p in stages}, batchsize
@@ -320,7 +322,9 @@ def _build_train_frame_pool(args, datasets, batchsize, logger, parallel_ctx,
             # streamed chunk serialized host decode -> 1.2 GB H2D ->
             # compute; measured 19.9 min/epoch at full NTU scale where the
             # link-bound floor is ~7 min (ntu_fullscale_search.json).
-            return device_prefetch(it, size=2)
+            return device_prefetch(
+                it, size=2,
+                put_threads=getattr(args, 'h2d_streams', 1))
         return it
 
     return {"pools": {"train": pool_dev}, "pool_batches": pool_batches}

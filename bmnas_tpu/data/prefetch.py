@@ -17,13 +17,22 @@ import jax
 
 def device_prefetch(iterator: Iterator[Any], size: int = 2,
                     sharding: Optional[Any] = None,
-                    place: Optional[Any] = None) -> Iterator[Any]:
+                    place: Optional[Any] = None,
+                    put_threads: int = 1) -> Iterator[Any]:
     """Wrap a host-batch iterator; yields device-resident batches.
 
     ``place`` (e.g. ``ParallelContext.shard_batch``) takes precedence over a
     bare ``sharding`` — it is required under multi-process runs, where each
     process must keep only its slice of the global batch (a plain device_put
-    onto a global NamedSharding cannot address other hosts' devices)."""
+    onto a global NamedSharding cannot address other hosts' devices).
+
+    ``put_threads > 1`` issues device_puts from a pool of threads while a
+    reader thread preserves batch ORDER (futures are enqueued in iterator
+    order; the consumer resolves them in order). Through the axon TPU
+    relay a single transfer stream moves ~15-17 MB/s — the measured wall of
+    every full-scale video-search epoch (benchmarks/h2d_probe.json) — and
+    concurrent streams multiply aggregate H2D throughput; on a local
+    PCIe-attached TPU the default single async stream is already optimal."""
 
     def _put(batch):
         if place is not None:
@@ -33,6 +42,15 @@ def device_prefetch(iterator: Iterator[Any], size: int = 2,
                 lambda x: jax.device_put(x, sharding), batch)
         return jax.tree_util.tree_map(jax.device_put, batch)
 
+    # plain function (no yield): dispatch returns the chosen generator —
+    # a `return <gen>` inside a generator function would end iteration
+    # immediately instead of delegating
+    if put_threads > 1:
+        return _device_prefetch_pooled(iterator, size, _put, put_threads)
+    return _device_prefetch_single(iterator, size, _put)
+
+
+def _device_prefetch_single(iterator, size, _put):
     q: "queue.Queue" = queue.Queue(maxsize=size)
     sentinel = object()
     err_holder = []
@@ -82,3 +100,56 @@ def device_prefetch(iterator: Iterator[Any], size: int = 2,
             yield item
     finally:
         stop.set()  # runs on GeneratorExit too — unblocks + ends the worker
+
+
+def _device_prefetch_pooled(iterator, size, put_fn, put_threads):
+    """Order-preserving concurrent device_put pipeline.
+
+    A reader thread walks the host iterator and submits each batch's put to
+    a ThreadPoolExecutor, enqueuing the FUTURES in iterator order on a
+    bounded queue (backpressure: at most ``max(size, put_threads)`` batches
+    are staged host-side at once). The consumer resolves futures in order,
+    so downstream sees exactly the single-threaded sequence while up to
+    ``put_threads`` relay transfers proceed concurrently."""
+    import concurrent.futures as cf
+    import gc
+
+    q: "queue.Queue" = queue.Queue(maxsize=max(size, put_threads))
+    sentinel = object()
+    stop = threading.Event()
+    pool = cf.ThreadPoolExecutor(max_workers=put_threads)
+
+    def _put_q(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    def reader():
+        try:
+            for n, batch in enumerate(iterator):
+                if not _put_q(pool.submit(put_fn, batch)):
+                    return
+                if (n + 1) % 8 == 0:
+                    gc.collect()  # same relay-buffer-cycle hygiene as above
+        except Exception as e:  # loader error -> surface on consumer side
+            f: "cf.Future" = cf.Future()
+            f.set_exception(e)
+            _put_q(f)
+        finally:
+            _put_q(sentinel)
+
+    t = threading.Thread(target=reader, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                return
+            yield item.result()
+    finally:
+        stop.set()
+        pool.shutdown(wait=False, cancel_futures=True)

@@ -45,6 +45,34 @@ def _accumulate(total, counts):
     return jax.tree_util.tree_map(lambda a, b: a + b, total, counts)
 
 
+def _make_preflight_accumulate():
+    """_accumulate plus a ONE-TIME scalar sync on the first dispatched chunk
+    of the run. Steps are dispatched async, so a RESOURCE_EXHAUSTED from an
+    over-booked HBM (device cache/pool + step workspace) otherwise surfaces
+    only at the end-of-phase metric fetch — the first R5HYBRID full-scale
+    NTU attempt burned 50 minutes of epoch 0 before reporting the OOM. The
+    eager fetch of one f32 scalar costs one relay round-trip once per run."""
+    state = {"synced": False}
+
+    def add(total, counts):
+        total = _accumulate(total, counts)
+        if not state["synced"]:
+            state["synced"] = True
+            try:
+                float(np.asarray(total["loss_sum"]))
+            except Exception as e:
+                raise RuntimeError(
+                    "preflight sync of the first dispatched chunk failed. "
+                    "If the cause below is RESOURCE_EXHAUSTED, the device "
+                    "data cache/pool plus the step workspace over-book HBM: "
+                    "lower --device_cache_budget_gb or raise "
+                    "BMNAS_CACHE_HEADROOM_GB "
+                    "(see cli/common.clamp_cache_budget)") from e
+        return total
+
+    return add
+
+
 def _release_host_memory():
     """Collect the TPU-relay client's buffer cycles and return freed arenas
     to the OS. Generational GC never triggers on its own here (allocation
@@ -103,6 +131,7 @@ def run_training(
     is tracked on dev; in eval mode on test (train_searchable/mmimdb.py:202-205)."""
     if fusion_param_keys is None:
         fusion_param_keys = lambda k: k.startswith("reshape_") or k == "fusion_net"
+    _acc = _make_preflight_accumulate()
 
     best_metric, best_genotype, best_epoch = 0.0, None, 0
     best_test_metric, best_test_genotype, best_test_epoch = 0.0, None, 0
@@ -202,7 +231,7 @@ def run_training(
                         else:
                             counts = gather_fns.eval_step_many(
                                 state, cache, idx)
-                        counts_total = _accumulate(counts_total, counts)
+                        counts_total = _acc(counts_total, counts)
                 elif use_pool:
                     # --device_data_cache train FRAME POOL: decoded frames
                     # live in HBM; each step ships only skeletons/labels +
@@ -250,7 +279,7 @@ def run_training(
                                     state, pool, stacked)
                             else:
                                 counts = fns.eval_step_many(state, stacked)
-                            counts_total = _accumulate(counts_total, counts)
+                            counts_total = _acc(counts_total, counts)
                         else:
                             # tail (or spd == 1): single-step functions avoid
                             # compiling a tail-length scan program
@@ -267,7 +296,7 @@ def run_training(
                                     counts = pfns.eval_step(state, pool, h)
                                 else:
                                     counts = fns.eval_step(state, h)
-                                counts_total = _accumulate(counts_total,
+                                counts_total = _acc(counts_total,
                                                            counts)
                         # Pool-kind chunks ("sample_idx" present) move only
                         # KB-scale index arrays to the device — the relay
@@ -313,7 +342,7 @@ def run_training(
                                         np.float32(scheduler.step()))
                                 else:
                                     counts = fns.eval_step(state, b)
-                                counts_total = _accumulate(counts_total,
+                                counts_total = _acc(counts_total,
                                                            counts)
                             break
                         stacked = jax.tree_util.tree_map(
@@ -327,7 +356,7 @@ def run_training(
                                 state, stacked, etas)
                         else:
                             counts = fns.eval_step_many(state, stacked)
-                        counts_total = _accumulate(counts_total, counts)
+                        counts_total = _acc(counts_total, counts)
                         _release_host_memory()
                 else:
                     for bi, batch in enumerate(loaders[phase](epoch)):
@@ -347,7 +376,7 @@ def run_training(
                                 state, batch, np.float32(eta))
                         else:
                             counts = fns.eval_step(state, batch)
-                        counts_total = _accumulate(counts_total, counts)
+                        counts_total = _acc(counts_total, counts)
                         if (bi + 1) % _GC_EVERY_BATCHES == 0:
                             _release_host_memory()
 

@@ -180,6 +180,44 @@ class TestPrefetch:
         with pytest.raises(RuntimeError, match="loader boom"):
             list(device_prefetch(gen(), size=2))
 
+    def test_pooled_order_and_completion(self):
+        """--h2d_streams > 1: the concurrent-put pipeline must preserve
+        batch order exactly (the PRNG/LR stream depends on it)."""
+        from bmnas_tpu.data.prefetch import device_prefetch
+        batches = [{"x": np.full((2,), i, np.float32)} for i in range(23)]
+        out = list(device_prefetch(iter(batches), size=2, put_threads=4))
+        assert len(out) == 23
+        for i, b in enumerate(out):
+            assert float(b["x"][0]) == i
+
+    def test_pooled_error_propagates(self):
+        from bmnas_tpu.data.prefetch import device_prefetch
+
+        def gen():
+            yield {"x": np.zeros(2, np.float32)}
+            raise RuntimeError("loader boom")
+
+        with pytest.raises(RuntimeError, match="loader boom"):
+            list(device_prefetch(gen(), size=2, put_threads=4))
+
+    def test_pooled_abandonment_stops_threads(self):
+        import gc
+        import time
+
+        from bmnas_tpu.data.prefetch import device_prefetch
+
+        def gen():
+            for i in range(100):
+                yield {"x": np.zeros(4) + i}
+
+        it = device_prefetch(gen(), size=2, put_threads=3)
+        next(it)
+        next(it)
+        it.close()
+        del it
+        gc.collect()
+        time.sleep(0.6)  # reader notices stop within its 0.2s put timeout
+
 
 def test_bf16_backbones_close_to_fp32():
     """--bf16_backbone for NTU/ego: bf16 conv stacks (fp32 params/taps) give

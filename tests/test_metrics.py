@@ -70,3 +70,50 @@ def test_accuracy_counts():
     c = accuracy_counts(logits, labels)
     assert float(c["correct"]) == 2.0
     assert float(c["count"]) == 3.0
+
+
+@pytest.mark.quick
+class TestPreflightAccumulate:
+    """search/loop._make_preflight_accumulate: the one-time first-chunk sync
+    that turns an async RESOURCE_EXHAUSTED into a minutes-in failure
+    (R5HYBRID full-scale NTU postmortem: 50 min of epoch 0 before the OOM
+    surfaced at the end-of-phase metric fetch)."""
+
+    def test_accumulates_like_plain_accumulate(self):
+        from bmnas_tpu.search.loop import _make_preflight_accumulate
+        acc = _make_preflight_accumulate()
+        a = {"loss_sum": np.float32(1.0), "correct": np.int32(3)}
+        b = {"loss_sum": np.float32(2.0), "correct": np.int32(4)}
+        total = acc(None, a)
+        total = acc(total, b)
+        assert float(total["loss_sum"]) == 3.0
+        assert int(total["correct"]) == 7
+
+    def test_first_chunk_fetch_failure_is_rewritten(self):
+        from bmnas_tpu.search.loop import _make_preflight_accumulate
+
+        class Exploding:
+            def __array__(self, *a, **k):
+                raise RuntimeError("RESOURCE_EXHAUSTED: TPU backend error")
+
+        acc = _make_preflight_accumulate()
+        with pytest.raises(RuntimeError, match="device_cache_budget_gb"):
+            acc(None, {"loss_sum": Exploding()})
+
+    def test_sync_happens_once(self):
+        from bmnas_tpu.search.loop import _make_preflight_accumulate
+        calls = []
+
+        class Counting:
+            def __init__(self, v):
+                self.v = v
+            def __add__(self, other):
+                return Counting(self.v + other.v)
+            def __array__(self, *a, **k):
+                calls.append(1)
+                return np.asarray(self.v, np.float32)
+
+        acc = _make_preflight_accumulate()
+        total = acc(None, {"loss_sum": Counting(1.0)})
+        total = acc(total, {"loss_sum": Counting(2.0)})
+        assert len(calls) == 1  # only the first chunk pays the round-trip

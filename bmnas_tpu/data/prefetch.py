@@ -8,6 +8,7 @@ device never waits on host IO for these small batches.
 """
 from __future__ import annotations
 
+import functools
 import queue
 import threading
 from typing import Any, Iterator, Optional
@@ -153,3 +154,52 @@ def _device_prefetch_pooled(iterator, size, put_fn, put_threads):
     finally:
         stop.set()
         pool.shutdown(wait=False, cancel_futures=True)
+
+
+def device_put_chunked(arr, streams: int = 1, chunk_mb: int = 128,
+                       device=None):
+    """Upload one large host array as concurrent chunk transfers.
+
+    The --device_data_cache/frame-pool builds upload multi-GB split arrays
+    with a single ``jax.device_put`` — one relay stream at ~15-17 MB/s
+    (benchmarks/h2d_probe.json), ~7 min for the 7-8 GB video dev caches.
+    With ``streams > 1`` the array is sliced into ``chunk_mb`` row blocks,
+    ``streams`` of them transfer concurrently, and each is folded into a
+    preallocated device buffer by a DONATED dynamic_update_slice (in-place
+    on TPU), so peak HBM = result + streams*chunk — never 2x the split.
+
+    ``streams <= 1`` or a small array degrades to plain device_put.
+    """
+    import concurrent.futures as cf
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    if streams <= 1 or arr.nbytes <= (chunk_mb << 20) or arr.ndim == 0:
+        return jax.device_put(arr, device)
+
+    rows = max(1, int(len(arr) * (chunk_mb << 20) / arr.nbytes))
+    starts = list(range(0, len(arr), rows))
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def fold(buf, chunk, start):
+        zeros = (jnp.int32(0),) * (buf.ndim - 1)
+        return jax.lax.dynamic_update_slice(
+            buf, chunk, (start,) + zeros)
+
+    buf = jnp.zeros(arr.shape, arr.dtype, device=device)
+
+    def put(s):
+        return jax.device_put(np.ascontiguousarray(arr[s:s + rows]), device)
+
+    with cf.ThreadPoolExecutor(max_workers=streams) as pool:
+        pending = []
+        for s in starts:
+            pending.append((s, pool.submit(put, s)))
+            if len(pending) > streams:
+                s0, f = pending.pop(0)
+                buf = fold(buf, f.result(), jnp.int32(s0))
+        for s0, f in pending:
+            buf = fold(buf, f.result(), jnp.int32(s0))
+    return buf

@@ -381,3 +381,36 @@ class TestCacheBudgetClamp:
     def test_none_budget_passthrough(self, monkeypatch):
         dev = self._Dev("TPU v5 lite")
         assert self._clamp(monkeypatch, dev, None) is None
+
+
+@pytest.mark.quick
+class TestDevicePutChunked:
+    """device_put_chunked: concurrent chunked upload for multi-GB cache/pool
+    arrays must reproduce plain device_put exactly (donated
+    dynamic_update_slice fold, peak HBM = result + streams*chunk)."""
+
+    def test_roundtrip_uint8(self):
+        from bmnas_tpu.data.prefetch import device_put_chunked
+        a = np.random.RandomState(0).randint(
+            0, 255, (1000, 7, 11), dtype=np.uint8)
+        out = device_put_chunked(a, streams=4, chunk_mb=1)
+        assert np.array_equal(np.asarray(out), a)
+
+    def test_small_array_degrades_to_plain_put(self):
+        from bmnas_tpu.data.prefetch import device_put_chunked
+        b = np.random.randn(7, 3).astype(np.float32)
+        out = device_put_chunked(b, streams=4, chunk_mb=1)
+        assert np.array_equal(np.asarray(out), b)
+
+    def test_single_stream_is_plain_put(self):
+        from bmnas_tpu.data.prefetch import device_put_chunked
+        a = np.arange(64, dtype=np.int32).reshape(16, 4)
+        out = device_put_chunked(a, streams=1, chunk_mb=0)
+        assert np.array_equal(np.asarray(out), a)
+
+    def test_uneven_tail_chunk(self):
+        from bmnas_tpu.data.prefetch import device_put_chunked
+        # rows chosen so the final chunk is shorter than the others
+        a = np.random.RandomState(1).randn(1031, 300).astype(np.float32)
+        out = device_put_chunked(a, streams=3, chunk_mb=1)
+        assert np.array_equal(np.asarray(out), a)

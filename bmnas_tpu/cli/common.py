@@ -285,7 +285,13 @@ def build_device_cache(args, datasets, batchsize, logger, phases,
                     for k, v in host.items()}
             caches[phase] = parallel_ctx.shard_batch(host)
         else:
-            caches[phase] = {k: jax.device_put(v) for k, v in host.items()}
+            # --h2d_streams > 1: multi-GB split uploads go as concurrent
+            # chunk transfers (single relay stream = ~15-17 MB/s wall;
+            # benchmarks/h2d_probe.json) — identical result, tested
+            from bmnas_tpu.data.prefetch import device_put_chunked
+            streams = max(1, int(getattr(args, "h2d_streams", 1)))
+            caches[phase] = {k: device_put_chunked(v, streams=streams)
+                             for k, v in host.items()}
         if logger is not None:
             nbytes = sum(int(np.prod(v.shape)) * v.dtype.itemsize
                          for v in caches[phase].values())

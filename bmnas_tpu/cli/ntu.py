@@ -299,7 +299,9 @@ def _build_train_frame_pool(args, datasets, batchsize, logger, parallel_ctx,
                                      pool_host.dtype)])
         pool_dev = parallel_ctx.shard_batch({"image": pool_host})["image"]
     else:
-        pool_dev = jax.device_put(pool_host)
+        from bmnas_tpu.data.prefetch import device_put_chunked
+        pool_dev = device_put_chunked(
+            pool_host, streams=max(1, int(getattr(args, "h2d_streams", 1))))
     logger.info("device frame pool [train]: %d of %d samples x %d frames, "
                 "%.2f GB HBM (%.2f GB per device)", pool_n, len(ds),
                 pool_host.shape[1], pool_host.nbytes / 2**30,

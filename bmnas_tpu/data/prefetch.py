@@ -156,7 +156,7 @@ def _device_prefetch_pooled(iterator, size, put_fn, put_threads):
         pool.shutdown(wait=False, cancel_futures=True)
 
 
-def device_put_chunked(arr, streams: int = 1, chunk_mb: int = 128,
+def device_put_chunked(arr, streams: int = 1, chunk_mb: int = None,
                        device=None):
     """Upload one large host array as concurrent chunk transfers.
 
@@ -172,10 +172,14 @@ def device_put_chunked(arr, streams: int = 1, chunk_mb: int = 128,
     """
     import concurrent.futures as cf
 
+    import os
+
     import jax
     import jax.numpy as jnp
     import numpy as np
 
+    if chunk_mb is None:
+        chunk_mb = int(os.environ.get("BMNAS_H2D_CHUNK_MB", 128))
     if streams <= 1 or arr.nbytes <= (chunk_mb << 20) or arr.ndim == 0:
         return jax.device_put(arr, device)
 

@@ -121,17 +121,24 @@ def test_steps_per_dispatch_cli_identical_results(data_root, tmp_path):
     np.testing.assert_allclose(f1_a, f1_b, rtol=1e-6)
 
 
-def test_device_data_cache_cli_identical_results(data_root, tmp_path):
+def test_device_data_cache_cli_identical_results(data_root, tmp_path,
+                                                 monkeypatch):
     """--device_data_cache (+ chunked dispatch) must reproduce the streaming
     loader's genotype and dev F1 exactly — same shuffle order, same padded
-    final batch semantics (zero rows + mask), same PRNG stream."""
+    final batch semantics (zero rows + mask), same PRNG stream.
+
+    Variant b also runs --h2d_streams 3 with a 1 MB chunk size, covering
+    the concurrent CHUNKED cache upload (device_put_chunked fold) and the
+    pooled concurrent-put prefetcher through the full CLI."""
     import glob
 
     from bmnas_tpu.cli.mmimdb import main_search
+    monkeypatch.setenv("BMNAS_H2D_CHUNK_MB", "1")
     cwd = os.getcwd()
     results = []
     for sub, extra in (("a", []),
                        ("b", ["--device_data_cache",
+                              "--h2d_streams", "3",
                               "--steps_per_dispatch", "3"])):
         d = tmp_path / sub
         d.mkdir()

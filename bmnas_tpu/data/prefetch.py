@@ -36,12 +36,28 @@ def device_prefetch(iterator: Iterator[Any], size: int = 2,
     PCIe-attached TPU the default single async stream is already optimal."""
 
     def _put(batch):
-        if place is not None:
-            return place(batch)
-        if sharding is not None:
-            return jax.tree_util.tree_map(
-                lambda x: jax.device_put(x, sharding), batch)
-        return jax.tree_util.tree_map(jax.device_put, batch)
+        try:
+            if place is not None:
+                return place(batch)
+            if sharding is not None:
+                return jax.tree_util.tree_map(
+                    lambda x: jax.device_put(x, sharding), batch)
+            return jax.tree_util.tree_map(jax.device_put, batch)
+        except Exception as e:
+            if "RESOURCE_EXHAUSTED" in str(e):
+                # R5HYB3 postmortem: an 8 GB train pool survived the whole
+                # train phase, then the dev (arch-step) phase's first
+                # streamed batches over-booked HBM — the bare device_put
+                # error gave no lever to pull. Same hint as the loop's
+                # preflight sync.
+                raise RuntimeError(
+                    "host->device staging of a streamed batch failed with "
+                    "RESOURCE_EXHAUSTED: the device data cache/pool plus "
+                    "this phase's step workspace over-book HBM. Lower "
+                    "--device_cache_budget_gb or raise "
+                    "BMNAS_CACHE_HEADROOM_GB (cli/common.clamp_cache_budget)"
+                ) from e
+            raise
 
     # plain function (no yield): dispatch returns the chosen generator —
     # a `return <gen>` inside a generator function would end iteration

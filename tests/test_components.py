@@ -180,6 +180,21 @@ class TestPrefetch:
         with pytest.raises(RuntimeError, match="loader boom"):
             list(device_prefetch(gen(), size=2))
 
+    def test_oom_during_put_carries_budget_hint(self):
+        """R5HYB3 postmortem: a RESOURCE_EXHAUSTED surfacing from the staging
+        device_put must name the cache-budget levers, not just re-raise the
+        bare runtime error (the dev-phase OOM of an 8 GB-pool full-scale NTU
+        search gave no actionable message)."""
+        from bmnas_tpu.data.prefetch import device_prefetch
+
+        def oom_place(batch):
+            raise ValueError("RESOURCE_EXHAUSTED: TPU backend error")
+
+        gen = iter([{"x": np.zeros(2, np.float32)}])
+        with pytest.raises(RuntimeError,
+                           match="device_cache_budget_gb"):
+            list(device_prefetch(gen, size=2, place=oom_place))
+
     def test_pooled_order_and_completion(self):
         """--h2d_streams > 1: the concurrent-put pipeline must preserve
         batch order exactly (the PRNG/LR stream depends on it)."""

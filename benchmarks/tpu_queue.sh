@@ -68,9 +68,13 @@ log "queue r5 START"
 
 # 1. full-scale NTU hybrid pool+stream search (VERDICT #2).
 if ensure_corpus /root/ntu_fullscale/.ready ntu_fullscale; then
+  # budget 6 + --remat is the validated full-scale config (R5HYB4): the
+  # dev/arch phase streams batch-96 supernet backprops next to the pool, so
+  # the pool must leave ~10 GB of the 16 GB chip free (hyb2/hyb3 postmortems
+  # in ROUND5_STATUS.md — budgets 9.5 and 8 both OOMed at that phase).
   step ntu_fullscale_hybrid 7200 python main_darts_searchable_ntu.py \
     --datadir /root/ntu_fullscale --batchsize 96 --epochs 2 \
-    --bf16_backbone --device_data_cache --device_cache_budget_gb 12 \
+    --bf16_backbone --remat --device_data_cache --device_cache_budget_gb 6 \
     --steps_per_dispatch 8 --num_workers 8 --save R5HYBRID
   NTU_EXP=$(ls -dt final_exp/ntu/search-R5HYBRID-* 2>/dev/null | head -1)
   if [ -n "${NTU_EXP:-}" ] && [ -f "$STATE/ntu_fullscale_hybrid.done" ]; then
